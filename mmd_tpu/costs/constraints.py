@@ -1,0 +1,120 @@
+"""Fixed-shape padded constraint sets for in-graph guidance.
+
+TPU-native re-design of MultiPointConstraint + CostConstraint
+(reference: mmd/common/constraints.py:46-86, deps/motion_planning_baselines/
+mp_baselines/planners/costs/cost_functions.py:275-326).
+
+The reference mutates a Python list of CostConstraint modules per plan call
+(guides.py:228-234), which would force a retrace per CBS replan. Here a
+constraint set is one padded pytree with static shape (K constraints x P
+points); replanning with different constraints is pure data — the jitted
+sampler never recompiles.
+
+Cost semantics match CostConstraint.eval (cost_functions.py:297-326): a
+waypoint h contributes relu(radius - ||q_h - q_c||) when start <= h < end.
+(The reference adds a constant `radius` for out-of-range/out-of-radius
+waypoints via its zero-masking trick; constants vanish under the gradient,
+which is all guidance uses.)
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.struct import dataclass as pytree_dataclass
+
+from mmd_tpu.config import params as default_params
+
+
+@pytree_dataclass
+class ConstraintSet:
+    """K padded constraints, each with up to P (point, t-range, radius) triples."""
+
+    q: jax.Array           # (K, P, q_dim) constraint centers
+    t_range: jax.Array     # (K, P, 2) float [start, end), reference-exclusive end
+    radius: jax.Array      # (K, P)
+    weight: jax.Array      # (K,) guidance gradient weight (hard/soft)
+    point_mask: jax.Array  # (K, P) 1.0 where the point is real
+    active: jax.Array      # (K,) 1.0 where the constraint is real
+
+    @property
+    def max_constraints(self) -> int:
+        return self.q.shape[0]
+
+    @property
+    def max_points(self) -> int:
+        return self.q.shape[1]
+
+
+def empty_constraint_set(max_constraints: int, max_points: int, q_dim: int = 2) -> ConstraintSet:
+    K, P = max_constraints, max_points
+    return ConstraintSet(
+        q=jnp.zeros((K, P, q_dim)),
+        t_range=jnp.zeros((K, P, 2)),
+        radius=jnp.zeros((K, P)),
+        weight=jnp.zeros((K,)),
+        point_mask=jnp.zeros((K, P)),
+        active=jnp.zeros((K,)),
+    )
+
+
+def pack_constraint_set(
+    constraints: Sequence,  # list of mmd_tpu.common.constraints.MultiPointConstraint
+    max_constraints: int,
+    max_points: int,
+    hard_weight: float = default_params.weight_grad_cost_constraints,
+    soft_weight: float = default_params.weight_grad_cost_soft_constraints,
+    q_dim: int = 2,
+) -> ConstraintSet:
+    """Pack host-side constraint objects into one padded device pytree.
+
+    Mirrors MPD.__call__'s constraint->CostConstraint conversion + the
+    hard/soft weight split (reference: mpd.py:329-342, 409-412).
+    """
+    K, P = max_constraints, max_points
+    q = np.zeros((K, P, q_dim), np.float32)
+    t_range = np.zeros((K, P, 2), np.float32)
+    radius = np.zeros((K, P), np.float32)
+    weight = np.zeros((K,), np.float32)
+    point_mask = np.zeros((K, P), np.float32)
+    active = np.zeros((K,), np.float32)
+
+    if len(constraints) > K:
+        raise ValueError(f"{len(constraints)} constraints > static bound {K}")
+    for k, c in enumerate(constraints):
+        pts = list(zip(c.q_l, c.t_range_l, c.radius_l))
+        if len(pts) > P:
+            raise ValueError(f"constraint {k} has {len(pts)} points > static bound {P}")
+        for p, (qc, (t0, t1), r) in enumerate(pts):
+            q[k, p] = np.asarray(qc, np.float32)[:q_dim]
+            # Reference mask is start <= h < end (cost_functions.py:303-305)
+            # with an *inclusive* declared range; it stores (t0, t1) and masks
+            # h < t1, so we keep the raw values.
+            t_range[k, p] = (float(t0), float(t1))
+            radius[k, p] = float(r)
+            point_mask[k, p] = 1.0
+        weight[k] = soft_weight if getattr(c, "is_soft", False) else hard_weight
+        active[k] = 1.0
+
+    return ConstraintSet(
+        q=jnp.asarray(q), t_range=jnp.asarray(t_range), radius=jnp.asarray(radius),
+        weight=jnp.asarray(weight), point_mask=jnp.asarray(point_mask),
+        active=jnp.asarray(active),
+    )
+
+
+def constraint_cost_single(q_pos: jax.Array, cset: ConstraintSet, k) -> jax.Array:
+    """Cost of constraint k over a batch. q_pos: (B, H, q_dim) -> (B,)."""
+    H = q_pos.shape[-2]
+    h_idx = jnp.arange(H, dtype=q_pos.dtype)
+    qc = cset.q[k]                       # (P, q_dim)
+    tr = cset.t_range[k]                 # (P, 2)
+    rad = cset.radius[k]                 # (P,)
+    pmask = cset.point_mask[k]           # (P,)
+    in_range = (h_idx[None, :] >= tr[:, 0:1]) & (h_idx[None, :] < tr[:, 1:2])  # (P, H)
+    dist = jnp.linalg.norm(q_pos[:, None, :, :] - qc[None, :, None, :], axis=-1)  # (B, P, H)
+    pen = jnp.maximum(rad[None, :, None] - dist, 0.0)
+    pen = pen * in_range[None].astype(q_pos.dtype) * pmask[None, :, None]
+    return pen.sum(axis=(-1, -2)) * cset.active[k]

@@ -44,8 +44,11 @@ class LimitsNormalizer:
         # [min, max] -> [0, 1] -> [-1, 1]
         return 2.0 * (x - self.mins) / self.span - 1.0
 
-    def unnormalize(self, x: jax.Array, eps: float = 1e-4) -> jax.Array:
-        x = jnp.clip(x, -1.0 + eps, 1.0 - eps)  # reference :160-163
+    def unnormalize(self, x: jax.Array) -> jax.Array:
+        # The reference clips to [-1, 1] when out of range (:157-163); an
+        # unconditional clip is identical for in-range inputs and avoids a
+        # data-dependent branch under jit.
+        x = jnp.clip(x, -1.0, 1.0)
         return 0.5 * (x + 1.0) * self.span + self.mins
 
     def unnormalize_unclipped(self, x: jax.Array) -> jax.Array:

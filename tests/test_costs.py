@@ -1,0 +1,127 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmd_tpu.common.constraints import MultiPointConstraint
+from mmd_tpu.costs.constraints import (
+    constraint_cost_single,
+    empty_constraint_set,
+    pack_constraint_set,
+)
+from mmd_tpu.costs.gp import gp_trajectory_cost
+from mmd_tpu.costs.guide import (
+    GuideConfig,
+    GuideData,
+    collision_cost_objects,
+    guide_gradient,
+)
+from mmd_tpu.datasets.normalization import LimitsNormalizer
+from mmd_tpu.envs.envs import make_env
+
+
+def _const_vel_traj(start, vel, dt, h=64):
+    t = np.arange(h, dtype=np.float32)[:, None]
+    pos = np.asarray(start, np.float32) + t * dt * np.asarray(vel, np.float32)
+    v = np.tile(np.asarray(vel, np.float32)[None], (h, 1))
+    return np.concatenate([pos, v], axis=-1)
+
+
+def test_gp_cost_zero_for_constant_velocity():
+    dt = 5.0 / 64.0
+    traj = jnp.asarray(_const_vel_traj([0, 0], [0.1, -0.05], dt)[None])
+    c = gp_trajectory_cost(traj, dt)
+    np.testing.assert_allclose(np.asarray(c), 0.0, atol=1e-3)
+
+
+def test_gp_cost_positive_for_jerky():
+    dt = 5.0 / 64.0
+    rng = np.random.default_rng(0)
+    traj = jnp.asarray(rng.normal(size=(1, 64, 4)).astype(np.float32))
+    assert float(gp_trajectory_cost(traj, dt)[0]) > 1.0
+
+
+def test_gp_cost_matches_reference_quadratic_form():
+    # Hand-computed 2-step case, q_dim=1 (state [p, v]).
+    dt = 0.5
+    trajs = jnp.asarray(np.array([[[0.0, 1.0], [0.7, 1.0]]], np.float32))
+    # e = s1 - Phi s0 = [0.7 - (0 + 0.5*1), 1 - 1] = [0.2, 0].
+    # Q_inv = [[12/dt^3, -6/dt^2], [-6/dt^2, 4/dt]] = [[96, -24], [-24, 8]].
+    expected = 0.2 * 96 * 0.2
+    np.testing.assert_allclose(float(gp_trajectory_cost(trajs, dt)[0]), expected, rtol=1e-5)
+
+
+def test_constraint_cost_value_and_masking():
+    c = MultiPointConstraint(q_l=[np.array([0.5, 0.5])], t_range_l=[(10, 20)],
+                             radius_l=[0.2])
+    cset = pack_constraint_set([c], max_constraints=2, max_points=4)
+    # Trajectory parked exactly at the constraint center.
+    q_pos = jnp.tile(jnp.array([[0.5, 0.5]]), (64, 1))[None]
+    cost0 = constraint_cost_single(q_pos, cset, 0)
+    # 10 in-range waypoints, each contributing radius - 0 = 0.2.
+    np.testing.assert_allclose(float(cost0[0]), 10 * 0.2, atol=1e-6)
+    # Inactive padded constraint contributes zero.
+    np.testing.assert_allclose(float(constraint_cost_single(q_pos, cset, 1)[0]), 0.0)
+    # Far away: zero.
+    far = jnp.tile(jnp.array([[-0.9, -0.9]]), (64, 1))[None]
+    np.testing.assert_allclose(float(constraint_cost_single(far, cset, 0)[0]), 0.0)
+
+
+def test_collision_cost_gradient_pushes_out_of_obstacle():
+    env = make_env("EnvConveyor2D")
+    cfg = GuideConfig()
+    # Trajectory skimming the right edge of the middle box (x=0.4, y=0).
+    traj = _const_vel_traj([0.42, 0.0], [0.0, 0.0], cfg.dt)[None]
+    g = jax.grad(lambda u: collision_cost_objects(u, env.scene, cfg).sum())(
+        jnp.asarray(traj))
+    # d cost / dx < 0 at interior waypoints: moving +x reduces penetration.
+    assert float(g[0, 30, 0]) < 0
+    assert float(g[0, 0, 0]) == 0.0  # waypoint 0 excluded from collision range
+
+
+def test_guide_gradient_endpoints_zero_and_direction():
+    env = make_env("EnvConveyor2D")
+    cfg = GuideConfig()
+    norm = LimitsNormalizer.from_limits([-1, -1, -2, -2], [1, 1, 2, 2])
+    gd = GuideData(scene=env.scene, normalizer=norm,
+                   constraints=empty_constraint_set(4, 4))
+    traj = _const_vel_traj([0.42, 0.0], [0.0, 0.0], cfg.dt)[None]
+    x_norm = norm.normalize(jnp.asarray(traj))
+    g = guide_gradient(x_norm, gd, cfg)
+    assert g.shape == x_norm.shape
+    np.testing.assert_allclose(np.asarray(g[0, 0]), 0.0)
+    np.testing.assert_allclose(np.asarray(g[0, -1]), 0.0)
+    # Guide pushes +x (out of the obstacle) at interior waypoints.
+    assert float(g[0, 30, 0]) > 0
+
+
+def test_guide_gradient_respects_constraints():
+    env = make_env("EnvEmpty2D")
+    cfg = GuideConfig()
+    norm = LimitsNormalizer.from_limits([-1, -1, -2, -2], [1, 1, 2, 2])
+    c = MultiPointConstraint(q_l=[np.array([0.0, 0.0])], t_range_l=[(20, 40)],
+                             radius_l=[0.3])
+    cset = pack_constraint_set([c], max_constraints=4, max_points=4)
+    gd = GuideData(scene=env.scene, normalizer=norm, constraints=cset)
+    # Trajectory parked at the constraint center with zero velocity.
+    traj = _const_vel_traj([0.01, 0.0], [0.0, 0.0], cfg.dt)[None]
+    g = guide_gradient(norm.normalize(jnp.asarray(traj)), gd, cfg)
+    # Constrained waypoints get pushed away (+x) much harder than
+    # unconstrained ones (which only feel float-noise GP gradients).
+    assert float(g[0, 30, 0]) > 1e-2
+    assert abs(float(g[0, 10, 0])) < 1e-3
+
+
+def test_guide_jit_and_constraint_swap_no_recompile():
+    env = make_env("EnvEmpty2D")
+    cfg = GuideConfig()
+    norm = LimitsNormalizer.from_limits([-1, -1, -2, -2], [1, 1, 2, 2])
+    f = jax.jit(guide_gradient, static_argnames=("cfg",))
+    x = jnp.zeros((8, 64, 4))
+    c1 = empty_constraint_set(4, 4)
+    c2 = pack_constraint_set(
+        [MultiPointConstraint(q_l=[np.zeros(2)], t_range_l=[(0, 10)], radius_l=[0.1])],
+        max_constraints=4, max_points=4)
+    g1 = f(x, GuideData(scene=env.scene, normalizer=norm, constraints=c1), cfg)
+    g2 = f(x, GuideData(scene=env.scene, normalizer=norm, constraints=c2), cfg)
+    assert f._cache_size() == 1
+    assert g1.shape == g2.shape
