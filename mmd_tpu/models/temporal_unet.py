@@ -1,0 +1,157 @@
+"""Temporal 1D-conv UNet denoiser in flax.linen.
+
+TPU-native re-design of TemporalUnet
+(reference: mmd/models/diffusion_models/temporal_unet.py:23-174 and
+mmd/models/layers/layers.py: Conv1dBlock:279, ResidualTemporalBlock:326,
+TimeEncoder:232, SinusoidalPosEmb:246, Downsample1d:261, Upsample1d:270).
+
+Architecture matches the reference defaults for the MMD pipeline: input
+(B, H, D) with D=4, channel dims 32*(1,2,4), kernel 5 conv blocks with
+GroupNorm(8)+Mish, FiLM-style additive time conditioning, stride-2 down /
+transposed-conv up, skip concatenation, no attention, no context
+(start/goal enter via inpainting). Layout is channels-last (B, H, C) —
+the natural XLA/TPU layout, so no rearranges are needed.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+UNET_DIM_MULTS = {0: (1, 2, 4), 1: (1, 2, 4, 8)}  # reference: temporal_unet.py:17-19
+
+
+def mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+class SinusoidalPosEmb(nn.Module):
+    """reference: layers.py:246-258."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t):  # (B,) -> (B, dim)
+        half = self.dim // 2
+        freq = jnp.exp(jnp.arange(half) * (-math.log(10000.0) / (half - 1)))
+        ang = t.astype(jnp.float32)[:, None] * freq[None, :]
+        return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class TimeEncoder(nn.Module):
+    """Sin(dim) -> Linear(4*dim) -> Mish -> Linear(out) (layers.py:232-243)."""
+
+    dim: int
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, t):
+        h = SinusoidalPosEmb(self.dim)(t)
+        h = nn.Dense(self.dim * 4)(h)
+        h = mish(h)
+        return nn.Dense(self.dim_out)(h)
+
+
+class Conv1dBlock(nn.Module):
+    """Conv1d -> GroupNorm -> Mish (layers.py:279-296)."""
+
+    out_channels: int
+    kernel_size: int = 5
+    n_groups: int = 8
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, C)
+        pad = self.kernel_size // 2
+        x = nn.Conv(self.out_channels, (self.kernel_size,), padding=pad)(x)
+        x = nn.GroupNorm(num_groups=self.n_groups)(x)
+        return mish(x)
+
+
+class ResidualTemporalBlock(nn.Module):
+    """Two conv blocks + FiLM time-add + 1x1 residual (layers.py:326-359)."""
+
+    out_channels: int
+    kernel_size: int = 5
+
+    @nn.compact
+    def __call__(self, x, c):  # x: (B, H, C), c: (B, E)
+        h = Conv1dBlock(self.out_channels, self.kernel_size)(x)
+        cond = nn.Dense(self.out_channels)(mish(c))
+        h = h + cond[:, None, :]
+        h = Conv1dBlock(self.out_channels, self.kernel_size)(h)
+        if x.shape[-1] != self.out_channels:
+            res = nn.Conv(self.out_channels, (1,))(x)
+        else:
+            res = x
+        return h + res
+
+
+class Downsample1d(nn.Module):
+    """Stride-2 conv (layers.py:261-267)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.dim, (3,), strides=(2,), padding=1)(x)
+
+
+class Upsample1d(nn.Module):
+    """Transposed conv, kernel 4 stride 2 (layers.py:270-276)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.ConvTranspose(self.dim, (4,), strides=(2,), padding="SAME")(x)
+
+
+class TemporalUnet(nn.Module):
+    """Denoiser: (B, H, D), (B,) timestep -> (B, H, D) epsilon prediction."""
+
+    state_dim: int = 4
+    unet_input_dim: int = 32
+    dim_mults: Tuple[int, ...] = (1, 2, 4)
+    time_emb_dim: int = 32
+
+    @nn.compact
+    def __call__(self, x, time):
+        dims = [self.state_dim] + [self.unet_input_dim * m for m in self.dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        n_res = len(in_out)
+
+        c = TimeEncoder(32, self.time_emb_dim)(time)
+
+        h_stack = []
+        for ind, (_, dim_out) in enumerate(in_out):
+            is_last = ind >= n_res - 1
+            x = ResidualTemporalBlock(dim_out)(x, c)
+            x = ResidualTemporalBlock(dim_out)(x, c)
+            h_stack.append(x)
+            if not is_last:
+                x = Downsample1d(dim_out)(x)
+
+        mid_dim = dims[-1]
+        x = ResidualTemporalBlock(mid_dim)(x, c)
+        x = ResidualTemporalBlock(mid_dim)(x, c)
+
+        for ind, (dim_in, dim_out) in enumerate(reversed(in_out[1:])):
+            x = jnp.concatenate([x, h_stack.pop()], axis=-1)
+            x = ResidualTemporalBlock(dim_in)(x, c)
+            x = ResidualTemporalBlock(dim_in)(x, c)
+            x = Upsample1d(dim_in)(x)
+
+        x = Conv1dBlock(self.unet_input_dim)(x)
+        return nn.Conv(self.state_dim, (1,))(x)
+
+
+def init_unet(key, horizon: int = 64, state_dim: int = 4,
+              unet_input_dim: int = 32, dim_mults: Tuple[int, ...] = (1, 2, 4)):
+    """Initialize a TemporalUnet; returns (module, params)."""
+    model = TemporalUnet(state_dim=state_dim, unet_input_dim=unet_input_dim,
+                         dim_mults=dim_mults)
+    params = model.init(key, jnp.zeros((2, horizon, state_dim)), jnp.zeros((2,), jnp.int32))
+    return model, params

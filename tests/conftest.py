@@ -1,12 +1,21 @@
 """Test configuration: force CPU with 8 virtual devices so multi-chip
-sharding paths are exercised without TPU hardware."""
+sharding paths are exercised without TPU hardware.
+
+NOTE: the environment pre-imports jax (sitecustomize) with
+JAX_PLATFORMS=axon, so env vars alone are too late — we override through
+jax.config, which still works because backends initialize lazily.
+"""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax  # noqa: E402  (import after env vars are set)
+import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persistent compilation cache: the guided-sampler scan is the slowest
+# compile; cache it across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

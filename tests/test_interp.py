@@ -51,11 +51,22 @@ def test_savgol_matrix_matches_scipy():
     np.testing.assert_allclose(S @ y, savgol_filter(y, 10, 2, mode="interp"), atol=1e-4)
 
 
-def test_smooth_trajs_shape_and_linear_preservation():
-    # A savgol filter of order >= 1 preserves straight lines exactly.
+def test_smooth_trajs_matches_scipy_even_window():
+    # The reference uses window 10 (even), which scipy evaluates with a
+    # half-sample shift; parity means matching scipy, not preserving lines.
+    from scipy.signal import savgol_filter
+
     t = np.linspace(0, 1, 64, dtype=np.float32)
     traj = np.stack([t, 2 * t, -t, 0.5 * t], axis=-1)[None]
     out = np.asarray(smooth_trajs(jnp.asarray(traj)))
+    ref = savgol_filter(traj, 10, 2, axis=1, mode="interp")
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_smooth_trajs_odd_window_preserves_lines():
+    t = np.linspace(0, 1, 64, dtype=np.float32)
+    traj = np.stack([t, 2 * t, -t, 0.5 * t], axis=-1)[None]
+    out = np.asarray(smooth_trajs(jnp.asarray(traj), window=11))
     np.testing.assert_allclose(out, traj, atol=2e-3)
 
 
