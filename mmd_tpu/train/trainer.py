@@ -1,0 +1,190 @@
+"""Training loop: Adam + grad clip + EMA, fully jitted steps.
+
+TPU-native re-design of mmd/trainer/trainer.py:119-337. The reference's
+per-step Python loop (AMP GradScaler, manual EMA over torch parameters)
+becomes one jitted `train_step` (loss + grads + optax update + in-graph EMA)
+— the host only feeds batch indices and logs.
+
+Recipe mirrored: Adam (trainer.py:146), global-norm grad clip 1.0
+(trainer.py:284-290), EMA decay 0.995 updated every 10 steps with a hard
+reset while step < 1000 (trainer.py:70-87, 297-302; EMA class from diffuser).
+Checkpoints: flax serialization of {params, ema_params} + a config yaml,
+replacing the torch .pth state dicts (trainer.py:23-40).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import yaml
+from flax import serialization
+from flax.struct import dataclass as pytree_dataclass
+
+from mmd_tpu.datasets.trajectories import TrajectoryDataset
+from mmd_tpu.models.diffusion import HardConds, diffusion_loss
+from mmd_tpu.models.schedules import DiffusionSchedule, make_schedule
+from mmd_tpu.models.temporal_unet import TemporalUnet, init_unet
+
+
+@pytree_dataclass
+class TrainState:
+    params: dict
+    ema_params: dict
+    opt_state: tuple
+    step: jax.Array  # int32 scalar
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 3e-4                    # launch_train_01.py recipe
+    clip_grad_max_norm: float = 1.0     # trainer.py:289
+    ema_decay: float = 0.995            # trainer.py:128
+    step_start_ema: int = 1000          # trainer.py:128
+    update_ema_every: int = 10          # trainer.py:128
+    batch_size: int = 128
+    n_diffusion_steps: int = 25
+    variance_schedule: str = "exponential"
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.clip_grad_max_norm),
+        optax.adam(cfg.lr),
+    )
+
+
+def init_train_state(params, optimizer) -> TrainState:
+    return TrainState(
+        params=params,
+        ema_params=jax.tree_util.tree_map(jnp.array, params),
+        opt_state=optimizer.init(params),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
+                    optimizer, cfg: TrainConfig):
+    """Returns a jitted (state, batch, hard, key) -> (state, loss) step."""
+
+    def step_fn(state: TrainState, batch: jax.Array, hard: HardConds,
+                key: jax.Array):
+        loss, grads = jax.value_and_grad(
+            lambda p: diffusion_loss(apply_fn, p, schedule, batch, hard, key,
+                                     cfg.n_diffusion_steps))(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        step = state.step + 1
+
+        def ema_update(ema):
+            # Hard reset before step_start_ema, EMA blend after
+            # (trainer.py:297-302).
+            do_reset = step < cfg.step_start_ema
+            return jax.tree_util.tree_map(
+                lambda e, p: jnp.where(do_reset, p,
+                                       e * cfg.ema_decay + p * (1 - cfg.ema_decay)),
+                ema, params)
+
+        ema_params = jax.lax.cond(
+            step % cfg.update_ema_every == 0,
+            ema_update, lambda e: e, state.ema_params)
+
+        return TrainState(params=params, ema_params=ema_params,
+                          opt_state=opt_state, step=step), loss
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def train(dataset: TrajectoryDataset,
+          cfg: TrainConfig = TrainConfig(),
+          num_train_steps: int = 5000,
+          seed: int = 18,
+          unet_dim: int = 32,
+          dim_mults=(1, 2, 4),
+          model_dir: Optional[str] = None,
+          log_every: int = 500,
+          steps_til_checkpoint: Optional[int] = None,
+          log_fn: Optional[Callable] = None):
+    """Train a TemporalUnet diffusion model on `dataset`.
+
+    Returns (model, final TrainState, schedule, losses list).
+    """
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    model, params = init_unet(init_key, horizon=dataset.n_support_points,
+                              state_dim=dataset.state_dim,
+                              unet_input_dim=unet_dim, dim_mults=tuple(dim_mults))
+    schedule = make_schedule(cfg.variance_schedule, cfg.n_diffusion_steps)
+    optimizer = make_optimizer(cfg)
+    state = init_train_state(params, optimizer)
+    step_fn = make_train_step(model.apply, schedule, optimizer, cfg)
+
+    losses = []
+    t0 = time.perf_counter()
+    for i in range(num_train_steps):
+        key, bkey, lkey = jax.random.split(key, 3)
+        batch, hard = dataset.sample_batch(bkey, cfg.batch_size)
+        state, loss = step_fn(state, batch, hard, lkey)
+        if (i + 1) % log_every == 0 or i == 0:
+            lv = float(loss)
+            losses.append((i + 1, lv))
+            msg = f"step {i + 1}/{num_train_steps} loss {lv:.5f} ({time.perf_counter() - t0:.1f}s)"
+            (log_fn or print)(msg)
+        if model_dir and steps_til_checkpoint and (i + 1) % steps_til_checkpoint == 0:
+            save_checkpoint(model_dir, model, state, dataset, cfg,
+                            suffix=f"_step_{i + 1:07d}")
+
+    if model_dir:
+        save_checkpoint(model_dir, model, state, dataset, cfg)
+    return model, state, schedule, losses
+
+
+# ------------------------------------------------------------- checkpoints
+def save_checkpoint(model_dir: str, model: TemporalUnet, state: TrainState,
+                    dataset: TrajectoryDataset, cfg: TrainConfig,
+                    suffix: str = ""):
+    """Save {model, ema_model} weights + reconstruction config + normalizer.
+
+    Mirrors save_models_to_disk (trainer.py:23-40); 'current' checkpoint is
+    the unsuffixed one, loaded by the planner (mpd.py:167-171).
+    """
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, f"model{suffix}.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(state.params))
+    with open(os.path.join(model_dir, f"ema_model{suffix}.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(state.ema_params))
+    info = {
+        "env_name": dataset.env_name,
+        "horizon": int(dataset.n_support_points),
+        "state_dim": int(dataset.state_dim),
+        "unet_input_dim": int(model.unet_input_dim),
+        "dim_mults": list(model.dim_mults),
+        "n_diffusion_steps": int(cfg.n_diffusion_steps),
+        "variance_schedule": cfg.variance_schedule,
+        "step": int(state.step),
+        "normalizer_mins": np.asarray(dataset.normalizer.mins).tolist(),
+        "normalizer_maxs": np.asarray(dataset.normalizer.maxs).tolist(),
+    }
+    with open(os.path.join(model_dir, "args.yaml"), "w") as f:
+        yaml.safe_dump(info, f)
+
+
+def load_checkpoint(model_dir: str, use_ema: bool = True):
+    """Returns (model, params, schedule, info dict)."""
+    with open(os.path.join(model_dir, "args.yaml")) as f:
+        info = yaml.safe_load(f)
+    model, params = init_unet(jax.random.PRNGKey(0), horizon=info["horizon"],
+                              state_dim=info["state_dim"],
+                              unet_input_dim=info["unet_input_dim"],
+                              dim_mults=tuple(info["dim_mults"]))
+    name = "ema_model.msgpack" if use_ema else "model.msgpack"
+    with open(os.path.join(model_dir, name), "rb") as f:
+        params = serialization.from_bytes(params, f.read())
+    schedule = make_schedule(info["variance_schedule"], info["n_diffusion_steps"])
+    return model, params, schedule, info
