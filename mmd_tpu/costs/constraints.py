@@ -84,17 +84,17 @@ def pack_constraint_set(
     if len(constraints) > K:
         raise ValueError(f"{len(constraints)} constraints > static bound {K}")
     for k, c in enumerate(constraints):
-        pts = list(zip(c.q_l, c.t_range_l, c.radius_l))
-        if len(pts) > P:
-            raise ValueError(f"constraint {k} has {len(pts)} points > static bound {P}")
-        for p, (qc, (t0, t1), r) in enumerate(pts):
-            q[k, p] = np.asarray(qc, np.float32)[:q_dim]
-            # Reference mask is start <= h < end (cost_functions.py:303-305)
-            # with an *inclusive* declared range; it stores (t0, t1) and masks
-            # h < t1, so we keep the raw values.
-            t_range[k, p] = (float(t0), float(t1))
-            radius[k, p] = float(r)
-            point_mask[k, p] = 1.0
+        n = len(c.q_l)
+        if n > P:
+            raise ValueError(f"constraint {k} has {n} points > static bound {P}")
+        # Vectorized fill — soft constraints carry O(n_agents * H) points.
+        q[k, :n] = np.stack([np.asarray(p, np.float32)[:q_dim] for p in c.q_l])
+        # Reference mask is start <= h < end (cost_functions.py:303-305)
+        # with an *inclusive* declared range; it stores (t0, t1) and masks
+        # h < t1, so we keep the raw values.
+        t_range[k, :n] = np.asarray(c.t_range_l, np.float32)
+        radius[k, :n] = np.asarray(c.radius_l, np.float32)
+        point_mask[k, :n] = 1.0
         weight[k] = soft_weight if getattr(c, "is_soft", False) else hard_weight
         active[k] = 1.0
 

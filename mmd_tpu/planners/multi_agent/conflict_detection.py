@@ -1,0 +1,92 @@
+"""Batched multi-agent conflict detection on device.
+
+TPU-native re-design of CBS.get_conflicts + the least-collisions selection
+loop (reference: mmd/planners/multi_agent/cbs.py:166-246, 446-458). The
+reference stacks padded paths and calls check_rr_collisions once per
+candidate trajectory in a Python loop; here ONE jitted call scores every
+candidate in the batch simultaneously, and full-team conflict tensors come
+back as fixed-shape bools the host turns into Conflict records.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmd_tpu.common.conflicts import PointConflict
+from mmd_tpu.robots.disk import check_rr_collisions
+
+
+@jax.jit
+def team_collision_tensor(paths_pos: jax.Array, margin: float):
+    """paths_pos: (n_agents, T, 2) padded positions.
+
+    Returns (coll (T, n, n) bool, midpoints (T, n, n, 2)) — the reference's
+    stacked check (cbs.py:185-193).
+    """
+    per_t = jnp.swapaxes(paths_pos, 0, 1)
+    return check_rr_collisions(per_t, margin)
+
+
+@jax.jit
+def candidate_conflict_counts(cand_pos: jax.Array, agent_idx: jax.Array,
+                              paths_pos: jax.Array, margin: float) -> jax.Array:
+    """Ordered-pair conflict count for each candidate path of one agent.
+
+    cand_pos: (B, T, 2) candidate positions for agent `agent_idx`;
+    paths_pos: (n, T, 2) current best paths (agent_idx row is ignored).
+    Returns (B,) int32: total ordered-pair conflicts of the team if the
+    candidate replaced the agent's path — exactly what the reference
+    computes with B separate get_conflicts calls (cbs.py:446-458).
+    """
+    n = paths_pos.shape[0]
+    # Conflicts involving the candidate agent: (B, n, T).
+    d = jnp.linalg.norm(cand_pos[:, None, :, :] - paths_pos[None, :, :, :], axis=-1)
+    hits = d < margin
+    not_self = (jnp.arange(n) != agent_idx)[None, :, None]
+    cnt_agent = (hits & not_self).sum(axis=(1, 2))  # unordered, x2 below
+
+    # Conflicts among the other agents (constant across candidates).
+    coll, _ = team_collision_tensor(paths_pos, margin)
+    others = (jnp.arange(n) != agent_idx)
+    pair_mask = others[:, None] & others[None, :]
+    base = (coll & pair_mask[None]).sum()  # ordered count already (symmetric)
+
+    return (2 * cnt_agent + base).astype(jnp.int32)
+
+
+def find_conflicts(paths_l: List[np.ndarray], margin: float,
+                   max_conflicts: Optional[int] = None) -> List[PointConflict]:
+    """Build PointConflict records from padded best paths.
+
+    Mirrors CBS.get_conflicts with densification factor 1 / PointConflict
+    (cbs.py:166-246): every ordered (t, a, b) hit becomes one conflict, in
+    row-major (t, a, b) order, with q = pair midpoint.
+    """
+    if len(paths_l) == 0:
+        return []
+    paths_pos = jnp.asarray(np.stack([np.asarray(p)[:, :2] for p in paths_l]))
+    coll, mid = team_collision_tensor(paths_pos, margin)
+    idxs = np.argwhere(np.asarray(coll))  # (num, 3) rows [t, a, b], row-major
+    mid = np.asarray(mid)
+    pos = np.asarray(paths_pos)
+    out = []
+    for t, a, b in idxs[:max_conflicts] if max_conflicts else idxs:
+        t, a, b = int(t), int(a), int(b)
+        m = mid[t, a, b]
+        out.append(PointConflict(agent_ids=[a, b],
+                                 p_l=[pos[a, t], pos[b, t]],
+                                 q_l=[m, m], t_from=t, t_to=t))
+    return out
+
+
+def count_conflicts(paths_l: List[np.ndarray], margin: float) -> int:
+    """Ordered-pair conflict count without building records."""
+    if len(paths_l) == 0:
+        return 0
+    paths_pos = jnp.asarray(np.stack([np.asarray(p)[:, :2] for p in paths_l]))
+    coll, _ = team_collision_tensor(paths_pos, margin)
+    return int(jnp.sum(coll))

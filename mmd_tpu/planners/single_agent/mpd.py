@@ -42,8 +42,10 @@ from mmd_tpu.utils.metrics import (
 )
 
 # Static shape buckets for packed constraints: (max_constraints, max_points).
+# The large P buckets cover ECBS/PP soft constraints, which carry one point
+# per other-agent waypoint ((n_agents-1) * H points in one constraint).
 K_BUCKETS = (4, 16, 64)
-P_BUCKETS = (1, 64, 160)
+P_BUCKETS = (1, 64, 512, 2048)
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
