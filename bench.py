@@ -1,0 +1,100 @@
+"""Benchmark: 10-robot single-tile plan (full denoise + conflict resolution).
+
+North star (BASELINE.json): < 2 s wall-clock on one TPU chip with
+reference-parity success and collision-free rates. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "s", "vs_baseline": N} where
+vs_baseline = 2.0 / value (>1 means faster than the target).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_AGENTS = 10
+BASELINE_S = 2.0
+PLANNER = os.environ.get("MMD_BENCH_PLANNER", "XECBS")
+
+
+def build_planners(seed: int = 0):
+    from mmd_tpu.common.multi_agent_utils import get_start_goal_pos_circle
+    from mmd_tpu.config import DiffusionConfig
+    from mmd_tpu.datasets.trajectories import TrajectoryDataset, model_id
+    from mmd_tpu.planners.single_agent.mpd import MPD
+    from mmd_tpu.train.trainer import load_checkpoint
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    env_name = "EnvEmptyNoWait2D"
+    mid = model_id(env_name)
+    model_dir = os.path.join(root, "data_trained_models", mid)
+    model, params, schedule, info = load_checkpoint(model_dir)
+    try:
+        dataset = TrajectoryDataset.load(os.path.join(root, "data_trajectories"), mid)
+    except FileNotFoundError:
+        from mmd_tpu.datagen.synthetic import generate_linear_dataset
+        dataset = generate_linear_dataset(env_name, n_contexts=512, seed=7)
+    # Restore the exact training normalizer from the checkpoint.
+    from mmd_tpu.datasets.normalization import LimitsNormalizer
+    dataset.normalizer = LimitsNormalizer.from_limits(
+        info["normalizer_mins"], info["normalizer_maxs"])
+    dataset.trajs_normalized = dataset.normalizer.normalize(dataset.trajs)
+
+    starts, goals = get_start_goal_pos_circle(N_AGENTS)
+    planners = [
+        MPD(model, params, schedule, dataset, jnp.asarray(s), jnp.asarray(g),
+            seed=seed * 1000 + i)
+        for i, (s, g) in enumerate(zip(starts, goals))
+    ]
+    return planners, starts, goals
+
+
+def make_team_planner(planners, starts, goals):
+    from mmd_tpu.planners.multi_agent.cbs import CBS
+    from mmd_tpu.planners.multi_agent.prioritized_planning import PrioritizedPlanning
+
+    if PLANNER == "PP":
+        return PrioritizedPlanning(planners, starts, goals)
+    flags = {"CBS": (False, False), "ECBS": (True, False),
+             "XCBS": (False, True), "XECBS": (True, True)}[PLANNER]
+    return CBS(planners, starts, goals, is_ecbs=flags[0], is_xcbs=flags[1])
+
+
+def main():
+    from mmd_tpu.experiments.status import TrialSuccessStatus
+    from mmd_tpu.planners.multi_agent.conflict_detection import count_conflicts
+
+    # Warmup round: builds planners and compiles every shape bucket used.
+    planners, starts, goals = build_planners(seed=0)
+    team = make_team_planner(planners, starts, goals)
+    team.plan(runtime_limit=600)
+
+    # Measured round: fresh search state, compiled executables.
+    planners2, starts2, goals2 = build_planners(seed=1)
+    team2 = make_team_planner(planners2, starts2, goals2)
+    t0 = time.perf_counter()
+    paths, n_exp, status, n_coll = team2.plan(runtime_limit=600)
+    wall = time.perf_counter() - t0
+
+    rr_margin = planners2[0].robot.rr_margin
+    collision_free = count_conflicts(paths, rr_margin) == 0
+    result = {
+        "metric": f"{N_AGENTS}_robot_plan_wall_clock_{PLANNER}",
+        "value": round(wall, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / wall, 3),
+        "success": bool(status == TrialSuccessStatus.SUCCESS),
+        "collision_free": bool(collision_free),
+        "ct_expansions": int(n_exp),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

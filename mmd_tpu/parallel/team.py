@@ -1,0 +1,85 @@
+"""Team-batched planning: one device call plans every agent's batch.
+
+The reference's CBS/PP call per-agent planners one at a time
+(cbs.py:316-335); BASELINE.json's north star is to vmap the per-robot
+sampler so a whole team's (re)plans batch onto one chip. This module vmaps
+the full fresh-plan program (guided denoise + classify + score + smooth)
+over an agent axis; on a multi-chip mesh the agent axis shards across
+devices (see mmd_tpu/parallel/sharding.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmd_tpu.config import DiffusionConfig
+from mmd_tpu.costs.guide import GuideConfig, GuideData
+from mmd_tpu.models.diffusion import HardConds, guided_p_sample_loop
+from mmd_tpu.planners.single_agent.mpd import PlanResult, _finalize_plan
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "guide_cfg"))
+def plan_fresh_team(apply_fn, params, schedule, hard_team: HardConds,
+                    gd: GuideData, keys: jax.Array, cfg: DiffusionConfig,
+                    guide_cfg: GuideConfig, scene, radius, q_min, q_max,
+                    savgol) -> PlanResult:
+    """Batched fresh plans for A agents sharing one model.
+
+    hard_team.values: (A, H, D) per-agent start/goal conditions (mask shared);
+    keys: (A, 2). Returns a PlanResult with a leading agent axis on every
+    field. Equivalent to A sequential _plan_fresh calls with empty/shared
+    constraints — the CBS root case.
+    """
+
+    def one_agent(values, key):
+        hard = HardConds(mask=hard_team.mask, values=values)
+        _, chain = guided_p_sample_loop(apply_fn, params, schedule, hard, key,
+                                        cfg, gd=gd, guide_cfg=guide_cfg)
+        return _finalize_plan(chain, gd.normalizer, scene, radius, q_min,
+                              q_max, savgol)
+
+    return jax.vmap(one_agent)(hard_team.values, keys)
+
+
+def stack_hard_conds(hard_l: List[HardConds]) -> HardConds:
+    """Stack per-agent HardConds (shared mask) into one (A, H, D) pytree."""
+    mask = hard_l[0].mask
+    values = jnp.stack([h.values for h in hard_l])
+    return HardConds(mask=mask, values=values)
+
+
+def plan_team_roots(planners: List) -> Optional[List]:
+    """Batched CBS/XCBS root creation over a list of MPD planners.
+
+    All planners must share the same model params, schedule, configs, and
+    task (the single-tile case). Returns a list of PlannerOutput, or None if
+    the planners are not batchable (caller falls back to sequential).
+    """
+    import time
+
+    p0 = planners[0]
+    for p in planners[1:]:
+        if (p.params is not p0.params or p.schedule is not p0.schedule
+                or p.cfg != p0.cfg or p.guide_cfg != p0.guide_cfg
+                or p.task is not p0.task):
+            return None
+
+    t0 = time.perf_counter()
+    hard_team = stack_hard_conds([p.hard_conds for p in planners])
+    keys = jnp.stack([p._next_key() for p in planners])
+    gd = p0._guide_data(p0._pack(None))
+    res = plan_fresh_team(p0.model.apply, p0.params, p0.schedule, hard_team,
+                          gd, keys, p0.cfg, p0.guide_cfg, p0.task.scene,
+                          p0.robot.radius, p0.robot.q_min, p0.robot.q_max,
+                          p0._savgol)
+    jax.block_until_ready(res.trajs_final)
+    t_total = time.perf_counter() - t0
+    outs = []
+    for i, p in enumerate(planners):
+        agent_res = jax.tree_util.tree_map(lambda x: x[i], res)
+        outs.append(p._to_output(agent_res, None, t_total / len(planners)))
+    return outs

@@ -171,12 +171,21 @@ class CBS:
         status = TrialSuccessStatus.UNKNOWN
 
         root = SearchState([], [])
+        root_outs = None
+        if not self.is_ecbs:
+            # CBS/XCBS roots are independent -> batch the whole team's
+            # unconstrained plans into one device call (vmapped sampler).
+            from mmd_tpu.parallel.team import plan_team_roots
+            root_outs = plan_team_roots(self.low_level_planner_l)
         for i in range(self.num_agents):
-            soft_l = (self.create_soft_constraints_from_other_agents_paths(root, i)
-                      if self.is_ecbs else [])
-            out = self.low_level_planner_l[i](self.start_state_pos_l[i],
-                                              self.goal_state_pos_l[i],
-                                              constraints_l=soft_l)
+            if root_outs is not None:
+                out = root_outs[i]
+            else:
+                soft_l = (self.create_soft_constraints_from_other_agents_paths(root, i)
+                          if self.is_ecbs else [])
+                out = self.low_level_planner_l[i](self.start_state_pos_l[i],
+                                                  self.goal_state_pos_l[i],
+                                                  constraints_l=soft_l)
             if out.trajs_final_free_idxs.shape[0] == 0:
                 self._log("Failed to find valid paths in root CT node.")
                 status = TrialSuccessStatus.FAIL_NO_SOLUTION
