@@ -18,6 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mmd_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 N_AGENTS = 10
 BASELINE_S = 2.0
 PLANNER = os.environ.get("MMD_BENCH_PLANNER", "XECBS")

@@ -1,0 +1,147 @@
+"""Experiment configs, per-trial results, and results-directory layout.
+
+Mirrors mmd/common/experiments/experiments.py:47-274. Results serialize with
+pickle (results.pkl) plus a human-readable results.txt, under
+results/<time>/instance_name___X/num_agents___N/planner___P/
+single_agent_planner___S/<trial>/.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from mmd_tpu.config import params as default_params
+from mmd_tpu.experiments.status import TrialSuccessStatus
+
+
+@dataclasses.dataclass
+class MultiAgentPlanningSingleTrialConfig:
+    """reference: experiments.py:122-166."""
+
+    time_str: Optional[str] = None
+    trial_number: int = 0
+    runtime_limit: float = 10.0
+    num_agents: int = 1
+    stagger_start_time_dt: int = 0
+    multi_agent_planner_class: str = "XECBS"
+    single_agent_planner_class: str = "MPD"
+    instance_name: Optional[str] = None
+    render_animation: bool = False
+    start_state_pos_l: Optional[List[np.ndarray]] = None
+    goal_state_pos_l: Optional[List[np.ndarray]] = None
+    global_model_ids: Optional[List[List[str]]] = None
+    agent_skeleton_l: Optional[List[List[List[int]]]] = None
+
+
+@dataclasses.dataclass
+class MultiAgentPlanningExperimentConfig:
+    """reference: experiments.py:47-120."""
+
+    time_str: Optional[str] = None
+    instance_name: Optional[str] = None
+    num_agents_l: List[int] = dataclasses.field(default_factory=list)
+    stagger_start_time_dt: int = 0
+    multi_agent_planner_class_l: List[str] = dataclasses.field(default_factory=list)
+    single_agent_planner_class: str = "MPD"
+    runtime_limit: float = default_params.runtime_limit
+    num_trials_per_combination: int = 1
+    render_animation: bool = False
+
+    def get_single_trial_configs_from_experiment_config(self):
+        """Same start/goals reused across planners per trial
+        (reference :68-97)."""
+        from mmd_tpu.experiments.problems import get_planning_problem
+
+        configs = []
+        for num_agents in self.num_agents_l:
+            problems = [get_planning_problem(self.instance_name, num_agents)
+                        for _ in range(self.num_trials_per_combination)]
+            for planner_cls in self.multi_agent_planner_class_l:
+                for trial_number in range(self.num_trials_per_combination):
+                    c = MultiAgentPlanningSingleTrialConfig(
+                        time_str=self.time_str,
+                        trial_number=trial_number,
+                        num_agents=num_agents,
+                        stagger_start_time_dt=self.stagger_start_time_dt,
+                        multi_agent_planner_class=planner_cls,
+                        single_agent_planner_class=self.single_agent_planner_class,
+                        instance_name=self.instance_name,
+                        runtime_limit=self.runtime_limit,
+                        render_animation=self.render_animation,
+                    )
+                    (c.start_state_pos_l, c.goal_state_pos_l,
+                     c.global_model_ids, c.agent_skeleton_l) = problems[trial_number]
+                    configs.append(c)
+        return configs
+
+    def save(self, root: str = "./results"):
+        d = get_result_dir_from_time_str(self.time_str, root)
+        Path(d).mkdir(parents=True, exist_ok=True)
+        with open(os.path.join(d, "experiment_config.pkl"), "wb") as f:
+            pickle.dump(self, f)
+
+
+@dataclasses.dataclass
+class MultiAgentPlanningSingleTrialResult:
+    """reference: experiments.py:179-239."""
+
+    trial_config: Optional[MultiAgentPlanningSingleTrialConfig] = None
+    agent_path_l: List[np.ndarray] = dataclasses.field(default_factory=list)
+    num_ct_expansions: int = 0
+    success_status: TrialSuccessStatus = TrialSuccessStatus.UNKNOWN
+    num_collisions_in_solution: int = 0
+    data_adherence: float = 0.0
+    planning_time: float = 0.0
+    path_length_per_agent: float = 0.0
+    mean_path_acceleration_per_agent: float = 0.0
+    start_state_pos_l: List[np.ndarray] = dataclasses.field(default_factory=list)
+    goal_state_pos_l: List[np.ndarray] = dataclasses.field(default_factory=list)
+    global_model_ids: List[List[str]] = dataclasses.field(default_factory=list)
+    agent_skeleton_l: List[List[List[int]]] = dataclasses.field(default_factory=list)
+
+    def save(self, results_dir: str):
+        Path(results_dir).mkdir(parents=True, exist_ok=True)
+        with open(os.path.join(results_dir, "results.pkl"), "wb") as f:
+            pickle.dump(self, f)
+        with open(os.path.join(results_dir, "results.txt"), "w") as f:
+            f.write(str(self))
+
+    def __str__(self):
+        tc = self.trial_config
+        return (f"Trial Config Summary:\n"
+                f"  Method: {tc.multi_agent_planner_class if tc else '?'}\n"
+                f"  Num Agents: {tc.num_agents if tc else '?'}\n"
+                f"  Instance: {tc.instance_name if tc else '?'}\n"
+                f"Trial Results:\n"
+                f"  success_status: {self.success_status}\n"
+                f"  num_collisions_in_solution: {self.num_collisions_in_solution}\n"
+                f"  data_adherence: {self.data_adherence}\n"
+                f"  planning_time: {self.planning_time}\n"
+                f"  path_length_per_agent: {self.path_length_per_agent}\n"
+                f"  mean_path_acceleration_per_agent: {self.mean_path_acceleration_per_agent}\n"
+                f"  num_ct_expansions: {self.num_ct_expansions}\n")
+
+
+def get_result_dir_from_time_str(time_str: str, root: str = "./results") -> str:
+    return os.path.abspath(os.path.join(root, f"{time_str}"))
+
+
+def get_result_dir_from_trial_config(trial_config: MultiAgentPlanningSingleTrialConfig,
+                                     time_str: Optional[str] = None,
+                                     trial_number: int = 0,
+                                     root: str = "./results") -> str:
+    """reference: experiments.py:258-274."""
+    if time_str is None:
+        raise ValueError("Time string must be provided.")
+    return os.path.abspath(os.path.join(
+        get_result_dir_from_time_str(time_str, root),
+        f"instance_name___{trial_config.instance_name}",
+        f"num_agents___{trial_config.num_agents}",
+        f"planner___{trial_config.multi_agent_planner_class}",
+        f"single_agent_planner___{trial_config.single_agent_planner_class}",
+        str(trial_number)))

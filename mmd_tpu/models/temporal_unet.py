@@ -155,3 +155,18 @@ def init_unet(key, horizon: int = 64, state_dim: int = 4,
                          dim_mults=dim_mults)
     params = model.init(key, jnp.zeros((2, horizon, state_dim)), jnp.zeros((2,), jnp.int32))
     return model, params
+
+
+def init_unet_abstract(horizon: int = 64, state_dim: int = 4,
+                       unet_input_dim: int = 32,
+                       dim_mults: Tuple[int, ...] = (1, 2, 4)):
+    """Like init_unet but without running any computation: the params pytree
+    holds ShapeDtypeStructs. Use when real weights are about to be restored
+    from a checkpoint — avoids compiling a throwaway forward pass."""
+    model = TemporalUnet(state_dim=state_dim, unet_input_dim=unet_input_dim,
+                         dim_mults=dim_mults)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, horizon, state_dim)),
+                           jnp.zeros((2,), jnp.int32)))
+    return model, shapes

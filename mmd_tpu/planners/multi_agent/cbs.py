@@ -8,19 +8,25 @@ The four variants map exactly as in the reference
   XCBS  = is_xcbs=True  (experience warm-start on replans)
   XECBS = both
 
-Host-side: the constraint-tree search (dynamic, branchy). Device-side: every
-per-batch operation —
-- conflict detection is one stacked pairwise-collision tensor
-  (conflict_detection.find_conflicts ~ cbs.py:166-246)
-- least-collisions best-in-batch selection scores ALL candidate
-  trajectories in one jitted call (candidate_conflict_counts), replacing the
-  reference's Python loop of B full conflict checks (cbs.py:446-458).
+Host-side: only the constraint-tree bookkeeping. Device-side: everything
+batched —
+- the whole team's path batches live in ONE (n_agents, B, H, D) device array
+  per CT node (jax arrays are immutable, so node copies are free)
+- CBS/XCBS root creation vmaps all agents' unconstrained plans into one call
+  (mmd_tpu/parallel/team.py), replacing the reference's sequential loop
+  (cbs.py:316-335)
+- each CT expansion is two device calls: the jitted plan, then a fused
+  least-collisions selection + first-conflict summary
+  (conflict_detection.select_candidate_and_conflicts), replacing the
+  reference's B-candidate Python loop of full conflict rebuilds
+  (cbs.py:446-458) — only a handful of scalars ever cross the host boundary.
 """
 from __future__ import annotations
 
 import time
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,27 +41,39 @@ from mmd_tpu.common.multi_agent_utils import (
 from mmd_tpu.config import params as default_params
 from mmd_tpu.experiments.status import TrialSuccessStatus
 from mmd_tpu.planners.multi_agent.conflict_detection import (
-    candidate_conflict_counts,
     find_conflicts,
+    select_candidate_and_conflicts,
+    team_conflict_summary,
 )
 
 
-class SearchState:
-    """Constraint-tree node (reference: cbs.py:63-106)."""
+@jax.jit
+def _best_paths_pos(paths_all: jax.Array, ix: jax.Array) -> jax.Array:
+    """(n, B, H, D), (n,) -> (n, H, 2) positions of each agent's best path."""
+    n = paths_all.shape[0]
+    return paths_all[jnp.arange(n), ix][..., :2]
 
-    def __init__(self, ix_best_l: List[int], path_bl: List[np.ndarray],
+
+class SearchState:
+    """Constraint-tree node (reference: cbs.py:63-106). Paths are one device
+    array; copies share buffers (immutability makes get_copy free)."""
+
+    def __init__(self, paths_all: Optional[jax.Array], ix_best: List[int],
                  constraints: Optional[Dict[int, List[MultiPointConstraint]]] = None):
-        self.path_bl = path_bl          # per agent: (B, H, D) numpy
-        self.ix_best_l = ix_best_l      # per agent: best index in batch
-        self.conflict_l: List[PointConflict] = []
+        self.paths_all = paths_all       # (n_agents, B, H, D) device array
+        self.ix_best = ix_best
         self.constraints = constraints or {}
+        self.n_conflicts: int = 0
+        self.first_conflict: Optional[PointConflict] = None
         self.g = float("inf")
 
     def best_paths(self) -> List[np.ndarray]:
-        return [self.path_bl[i][ix] for i, ix in enumerate(self.ix_best_l)]
+        arr = np.asarray(self.paths_all)
+        return [arr[i, ix] for i, ix in enumerate(self.ix_best)]
 
     def update_g_l2(self):
-        # Sum of full-state path lengths of the best paths (cbs.py:75-83).
+        # Sum of full-state path lengths of best paths (cbs.py:75-83);
+        # only needed for the least-cost sort alternative.
         self.g = float(sum(
             np.linalg.norm(np.diff(p, axis=0), axis=-1).sum()
             for p in self.best_paths()))
@@ -64,9 +82,10 @@ class SearchState:
         self.constraints.setdefault(agent_id, []).append(c)
 
     def get_copy(self) -> "SearchState":
-        s = SearchState(list(self.ix_best_l), list(self.path_bl),
+        s = SearchState(self.paths_all, list(self.ix_best),
                         {k: list(v) for k, v in self.constraints.items()})
-        s.conflict_l = self.conflict_l
+        s.n_conflicts = self.n_conflicts
+        s.first_conflict = self.first_conflict
         s.g = self.g
         return s
 
@@ -84,6 +103,7 @@ class CBS:
         self.start_state_pos_l = [np.asarray(s) for s in start_l]
         self.goal_state_pos_l = [np.asarray(g) for g in goal_l]
         self.start_time_l = start_time_l or [0] * self.num_agents
+        self.uniform_time = all(t == 0 for t in self.start_time_l)
         self.reference_robot = reference_robot or low_level_planner_l[0].robot
         self.reference_task = reference_task or low_level_planner_l[0].task
         self.margin = self.reference_robot.rr_margin
@@ -99,69 +119,69 @@ class CBS:
         if self.verbose:
             print(*a)
 
+    def _pad_pos(self, pos: np.ndarray, agent_id: int, max_t: int) -> np.ndarray:
+        st = self.start_time_l[agent_id]
+        tail = max_t - pos.shape[-2] - st
+        parts = []
+        if st > 0:
+            parts.append(np.repeat(pos[..., :1, :], st, axis=-2))
+        parts.append(pos)
+        if tail > 0:
+            parts.append(np.repeat(pos[..., -1:, :], tail, axis=-2))
+        return np.concatenate(parts, axis=-2)
+
+    def _team_pos(self, state: SearchState):
+        """Padded (n, T, 2) team positions; device fast path when uniform."""
+        if self.uniform_time:
+            return _best_paths_pos(state.paths_all, jnp.asarray(state.ix_best))
+        paths = global_pad_paths(state.best_paths(), self.start_time_l)
+        return jnp.asarray(np.stack([p[:, :2] for p in paths]))
+
+    def _summarize(self, state: SearchState):
+        """Fill n_conflicts / first_conflict from one device summary call."""
+        pos = self._team_pos(state)
+        count, t, a, b, mid = jax.device_get(
+            team_conflict_summary(pos, self.margin))
+        state.n_conflicts = int(count)
+        state.first_conflict = self._mk_conflict(t, a, b, mid) if count else None
+
+    def _mk_conflict(self, t, a, b, mid) -> PointConflict:
+        mid = np.asarray(mid)
+        return PointConflict(agent_ids=[int(a), int(b)], p_l=[mid, mid],
+                             q_l=[mid, mid], t_from=int(t), t_to=int(t))
+
     def get_conflicts(self, state: SearchState) -> List[PointConflict]:
+        """Full conflict list (host records) — kept for API parity/rendering."""
         best = global_pad_paths(state.best_paths(), self.start_time_l)
         return find_conflicts(best, self.margin)
 
-    def _padded_positions(self, paths: List[np.ndarray]) -> np.ndarray:
-        return np.stack([p[:, :2] for p in global_pad_paths(paths, self.start_time_l)])
-
-    def _pad_candidates(self, cand: np.ndarray, agent_id: int, max_t: int) -> np.ndarray:
-        """Pad a (B, H, D) candidate batch to the team horizon, honoring the
-        agent's start time — batched global_pad_paths."""
-        B, H, _ = cand.shape
-        pos = cand[:, :, :2]
-        st = self.start_time_l[agent_id]
-        tail = max_t - H - st
-        parts = []
-        if st > 0:
-            parts.append(np.repeat(pos[:, :1], st, axis=1))
-        parts.append(pos)
-        if tail > 0:
-            parts.append(np.repeat(pos[:, -1:], tail, axis=1))
-        return np.concatenate(parts, axis=1)
-
-    def _choose_best_in_batch(self, state: SearchState, agent_id: int,
-                              free_idxs: np.ndarray) -> Tuple[int, List[PointConflict]]:
-        """least_collisions selection, batched on device (cbs.py:446-458)."""
-        best = global_pad_paths(state.best_paths(), self.start_time_l)
-        max_t = best[0].shape[0]
-        paths_pos = np.stack([p[:, :2] for p in best])
-        cand_pos = self._pad_candidates(state.path_bl[agent_id], agent_id, max_t)
-        counts = np.asarray(candidate_conflict_counts(
-            jnp.asarray(cand_pos), agent_id, jnp.asarray(paths_pos), self.margin))
-        counts_free = counts[free_idxs]
-        ix = int(free_idxs[int(np.argmin(counts_free))])
-        state.ix_best_l[agent_id] = ix
-        return ix, self.get_conflicts(state)
-
     def create_soft_constraints_from_other_agents_paths(
-            self, state: SearchState, agent_id: int) -> List[MultiPointConstraint]:
+            self, state: SearchState, agent_id: int,
+            n_agents_in_state: Optional[int] = None) -> List[MultiPointConstraint]:
         """One soft MultiPointConstraint holding a (q, [t, t+1]) ball per
         other-agent waypoint (reference: cbs.py:468-506)."""
-        if len(state.path_bl) == 0:
+        n_in_state = (n_agents_in_state if n_agents_in_state is not None
+                      else (state.paths_all.shape[0] if state.paths_all is not None else 0))
+        if n_in_state == 0:
             return []
+        pos_all = np.asarray(_best_paths_pos(
+            state.paths_all, jnp.asarray(state.ix_best + [0] * (state.paths_all.shape[0] - len(state.ix_best)))))
         q_l, t_range_l, radius_l = [], [], []
-        for other in range(len(state.path_bl)):
+        H = pos_all.shape[1]
+        for other in range(n_in_state):
             if other == agent_id:
                 continue
-            path = state.path_bl[other][state.ix_best_l[other]]
-            pos = path[:, :2]
-            if agent_id < len(state.path_bl):
-                T_agent = len(state.path_bl[agent_id][0]) - 1
-            else:
-                T_agent = len(path) - 1
-            for t_other in range(len(path)):
+            T_agent = H - 1
+            for t_other in range(H):
                 t_agent = t_other + self.start_time_l[other] - self.start_time_l[agent_id]
                 if 1 <= t_agent <= T_agent:
-                    q_l.append(pos[t_other])
+                    q_l.append(pos_all[other, t_other])
                     t_range_l.append((t_agent, t_agent + 1))
                     radius_l.append(default_params.vertex_constraint_radius)
         if not q_l:
             return []
-        c = MultiPointConstraint(q_l=q_l, t_range_l=t_range_l, radius_l=radius_l,
-                                 is_soft=True)
-        return [c]
+        return [MultiPointConstraint(q_l=q_l, t_range_l=t_range_l,
+                                     radius_l=radius_l, is_soft=True)]
 
     # ---------------------------------------------------------------- plan
     def plan(self, runtime_limit: float = default_params.runtime_limit):
@@ -169,50 +189,61 @@ class CBS:
         n_collisions) (reference: cbs.py:302-389)."""
         t_start = time.time()
         status = TrialSuccessStatus.UNKNOWN
+        state = root = SearchState(None, [])
 
-        root = SearchState([], [])
-        root_outs = None
+        # ---- root creation --------------------------------------------
+        path_tiles: List[jax.Array] = []
         if not self.is_ecbs:
-            # CBS/XCBS roots are independent -> batch the whole team's
-            # unconstrained plans into one device call (vmapped sampler).
-            from mmd_tpu.parallel.team import plan_team_roots
-            root_outs = plan_team_roots(self.low_level_planner_l)
-        for i in range(self.num_agents):
-            if root_outs is not None:
-                out = root_outs[i]
+            # CBS/XCBS roots are independent -> one vmapped device call.
+            from mmd_tpu.parallel.team import plan_team_roots_device
+            team = plan_team_roots_device(self.low_level_planner_l)
+        else:
+            team = None
+
+        if team is not None:
+            trajs_all, free_any, idx_best = team
+            if not bool(free_any.all()):
+                status = TrialSuccessStatus.FAIL_NO_SOLUTION
             else:
-                soft_l = (self.create_soft_constraints_from_other_agents_paths(root, i)
-                          if self.is_ecbs else [])
+                root = SearchState(trajs_all, [int(i) for i in idx_best])
+        else:
+            for i in range(self.num_agents):
+                partial = SearchState(
+                    jnp.stack(path_tiles) if path_tiles else None,
+                    root.ix_best[: len(path_tiles)])
+                soft_l = (self.create_soft_constraints_from_other_agents_paths(
+                    partial, i, n_agents_in_state=len(path_tiles))
+                    if self.is_ecbs and path_tiles else [])
                 out = self.low_level_planner_l[i](self.start_state_pos_l[i],
                                                   self.goal_state_pos_l[i],
                                                   constraints_l=soft_l)
-            if out.trajs_final_free_idxs.shape[0] == 0:
-                self._log("Failed to find valid paths in root CT node.")
-                status = TrialSuccessStatus.FAIL_NO_SOLUTION
-                state = root
-                break
-            root.path_bl.append(np.asarray(out.trajs_final))
-            root.ix_best_l.append(int(out.idx_best_traj))
-            if time.time() - t_start > runtime_limit:
-                status = TrialSuccessStatus.FAIL_RUNTIME_LIMIT
-                state = root
-                break
+                if out.trajs_final_free_idxs.shape[0] == 0:
+                    self._log("Failed to find valid paths in root CT node.")
+                    status = TrialSuccessStatus.FAIL_NO_SOLUTION
+                    break
+                path_tiles.append(jnp.asarray(out.trajs_final))
+                root.ix_best.append(int(out.idx_best_traj))
+                if time.time() - t_start > runtime_limit:
+                    status = TrialSuccessStatus.FAIL_RUNTIME_LIMIT
+                    break
+            if status == TrialSuccessStatus.UNKNOWN:
+                root.paths_all = jnp.stack(path_tiles)
 
         num_expansions = 0
         if status == TrialSuccessStatus.UNKNOWN:
-            root.update_g_l2()
-            root.conflict_l = self.get_conflicts(root)
+            self._summarize(root)
             self.open_l.append(root)
+            state = root
 
+        # ---- search ----------------------------------------------------
         while status == TrialSuccessStatus.UNKNOWN:
             if not self.open_l:
                 status = TrialSuccessStatus.FAIL_NO_SOLUTION
-                state = root
                 break
             # Fewest-conflicts-first (cbs.py:365; cost-sort alternative noted).
-            self.open_l.sort(key=lambda s: len(s.conflict_l))
+            self.open_l.sort(key=lambda s: s.n_conflicts)
             state = self.open_l.pop(0)
-            if not state.conflict_l:
+            if state.n_conflicts == 0:
                 status = TrialSuccessStatus.SUCCESS
                 break
             self.expand(state)
@@ -221,37 +252,83 @@ class CBS:
                 status = TrialSuccessStatus.FAIL_RUNTIME_LIMIT
                 break
 
+        if state.paths_all is None:
+            return [], num_expansions, status, 0
         best_path_l = global_pad_paths(state.best_paths(), self.start_time_l)
-        return best_path_l, num_expansions, status, len(state.conflict_l)
+        return best_path_l, num_expansions, status, state.n_conflicts
 
     # -------------------------------------------------------------- expand
     def expand(self, state: SearchState):
-        """reference: cbs.py:390-466."""
-        conflict = state.conflict_l[0]
+        """reference: cbs.py:390-466. Two device calls per child."""
+        conflict = state.first_conflict
         constraints = convert_conflicts_to_constraints(conflict)
+        H_all = state.paths_all.shape[2]
         for agent_id, constraint in constraints.items():
-            # Shift to the agent's local time and clamp (cbs.py:399-406).
-            H_agent = state.path_bl[agent_id].shape[1]
-            constraint = constraint.shifted(-self.start_time_l[agent_id], 0, H_agent - 1)
-
+            constraint = constraint.shifted(-self.start_time_l[agent_id], 0,
+                                            H_all - 1)
             new_state = state.get_copy()
             new_state.add_constraint(agent_id, constraint)
             agent_constraint_l = list(new_state.constraints[agent_id])
             if self.is_ecbs:
                 agent_constraint_l.extend(
-                    self.create_soft_constraints_from_other_agents_paths(new_state, agent_id))
-            experience = (PathBatchExperience(new_state.path_bl[agent_id])
-                          if self.is_xcbs else None)
+                    self.create_soft_constraints_from_other_agents_paths(
+                        new_state, agent_id))
+            planner = self.low_level_planner_l[agent_id]
 
-            out = self.low_level_planner_l[agent_id](
-                self.start_state_pos_l[agent_id], self.goal_state_pos_l[agent_id],
-                constraints_l=agent_constraint_l, experience=experience)
-            if len(out.trajs_final_free_idxs) == 0:
+            from mmd_tpu.planners.single_agent.mpd import MPD
+            if self.uniform_time and isinstance(planner, MPD):
+                # Fully-fused expansion: plan + select + conflict summary +
+                # team update in ONE device call (fused.py).
+                from mmd_tpu.planners.multi_agent.fused import (
+                    expand_fresh, expand_local)
+                gd = planner._guide_data(planner._pack(agent_constraint_l))
+                common = (planner.model.apply, planner.params, planner.schedule,
+                          planner.hard_conds, gd, planner._next_key(),
+                          planner.cfg, planner.guide_cfg, planner.task.scene,
+                          planner.robot.radius, planner.robot.q_min,
+                          planner.robot.q_max, planner._savgol,
+                          new_state.paths_all, jnp.asarray(new_state.ix_best),
+                          agent_id, self.margin)
+                if self.is_xcbs:
+                    new_paths, scalars = expand_local(
+                        *common,
+                        n_noise=default_params.n_local_inference_noising_steps,
+                        n_denoise=default_params.n_local_inference_denoising_steps)
+                else:
+                    new_paths, scalars = expand_fresh(*common)
+                any_free, ix, count, t, a, b, mid = jax.device_get(scalars)
+                if not bool(any_free):
+                    self._log("Failed to find valid path in CT node.")
+                    continue
+                new_state.paths_all = new_paths
+                new_state.ix_best[agent_id] = int(ix)
+                new_state.n_conflicts = int(count)
+                new_state.first_conflict = (self._mk_conflict(t, a, b, mid)
+                                            if count else None)
+                self.open_l.append(new_state)
+                continue
+
+            experience = (PathBatchExperience(new_state.paths_all[agent_id])
+                          if self.is_xcbs else None)
+            res = planner._run(agent_constraint_l, experience)  # device call 1
+
+            best = global_pad_paths(new_state.best_paths(), self.start_time_l)
+            max_t = best[0].shape[0]
+            others_pos = jnp.asarray(np.stack([p[:, :2] for p in best]))
+            cand_pos = jnp.asarray(self._pad_pos(
+                np.asarray(res.trajs_final[..., :2]), agent_id, max_t))
+
+            ix, count, t, a, b, mid, any_free = jax.device_get(  # device call 2
+                (*select_candidate_and_conflicts(
+                    cand_pos, res.free_mask, agent_id, others_pos, self.margin),
+                 jnp.any(res.free_mask)))
+            if not bool(any_free):
                 self._log("Failed to find valid path in CT node.")
                 continue  # skip this child (cbs.py:433-435)
 
-            new_state.path_bl[agent_id] = np.asarray(out.trajs_final)
-            _, new_state.conflict_l = self._choose_best_in_batch(
-                new_state, agent_id, out.trajs_final_free_idxs)
-            new_state.update_g_l2()
+            new_state.paths_all = new_state.paths_all.at[agent_id].set(res.trajs_final)
+            new_state.ix_best[agent_id] = int(ix)
+            new_state.n_conflicts = int(count)
+            new_state.first_conflict = (self._mk_conflict(t, a, b, mid)
+                                        if count else None)
             self.open_l.append(new_state)

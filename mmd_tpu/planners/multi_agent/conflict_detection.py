@@ -58,6 +58,47 @@ def candidate_conflict_counts(cand_pos: jax.Array, agent_idx: jax.Array,
     return (2 * cnt_agent + base).astype(jnp.int32)
 
 
+@jax.jit
+def team_conflict_summary(paths_pos: jax.Array, margin: float):
+    """paths_pos: (n, T, 2) -> (count, t, a, b, midpoint (2,)).
+
+    Ordered-pair conflict count plus the FIRST conflict in row-major
+    (t, a, b) order — all the CBS loop needs per node, in one device call
+    (the reference builds a full Python conflict list, cbs.py:166-246).
+    """
+    coll, mid = team_collision_tensor(paths_pos, margin)   # (T, n, n)
+    count = jnp.sum(coll).astype(jnp.int32)
+    flat = coll.reshape(-1)
+    first = jnp.argmax(flat).astype(jnp.int32)             # row-major first hit
+    n = paths_pos.shape[0]
+    t = first // (n * n)
+    rem = first % (n * n)
+    a = rem // n
+    b = rem % n
+    midpoint = mid.reshape(-1, 2)[first]
+    return count, t, a, b, midpoint
+
+
+@jax.jit
+def select_candidate_and_conflicts(cand_pos: jax.Array, free_mask: jax.Array,
+                                   agent_idx: jax.Array, paths_pos: jax.Array,
+                                   margin: float):
+    """Fused least-collisions selection + post-selection conflict summary.
+
+    cand_pos: (B, T, 2) candidates for one agent; free_mask (B,);
+    paths_pos (n, T, 2) team best paths. Returns
+    (ix_best, count, t, a, b, midpoint) — one device call per CT expansion
+    instead of the reference's B-candidate Python loop + conflict rebuild.
+    """
+    counts = candidate_conflict_counts(cand_pos, agent_idx, paths_pos, margin)
+    big = jnp.iinfo(jnp.int32).max
+    masked = jnp.where(free_mask, counts, big)
+    ix = jnp.argmin(masked).astype(jnp.int32)
+    new_paths = paths_pos.at[agent_idx].set(cand_pos[ix])
+    count, t, a, b, midpoint = team_conflict_summary(new_paths, margin)
+    return ix, count, t, a, b, midpoint
+
+
 def find_conflicts(paths_l: List[np.ndarray], margin: float,
                    max_conflicts: Optional[int] = None) -> List[PointConflict]:
     """Build PointConflict records from padded best paths.

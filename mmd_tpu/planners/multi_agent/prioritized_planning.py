@@ -5,34 +5,31 @@ TPU-native re-design of PrioritizedPlanning
 (reference: mmd/planners/multi_agent/prioritized_planning.py:46-298):
 - per-agent constraints are the ECBS-style per-waypoint balls made HARD
   (reference :150-158)
-- best-in-batch selection by fewest conflicts, batched on device here
-  (reference loops get_conflicts per candidate, :172-183)
-- success iff zero conflicts remain (reference :197-201); conflict counting
-  uses unordered pairs (reference PP.get_conflicts :249-298).
+- best-in-batch selection by fewest conflicts runs as one fused device call
+  (the reference loops get_conflicts per candidate, :172-183)
+- success iff zero conflicts remain (reference :197-201).
 """
 from __future__ import annotations
 
 import time
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mmd_tpu.common.multi_agent_utils import (
-    global_pad_paths,
-    is_multi_agent_start_goal_states_valid,
-)
+from mmd_tpu.common.multi_agent_utils import global_pad_paths
 from mmd_tpu.config import params as default_params
 from mmd_tpu.experiments.status import TrialSuccessStatus
-from mmd_tpu.planners.multi_agent.cbs import CBS, SearchState
+from mmd_tpu.planners.multi_agent.cbs import CBS, SearchState, _best_paths_pos
 from mmd_tpu.planners.multi_agent.conflict_detection import (
-    candidate_conflict_counts,
-    find_conflicts,
+    select_candidate_and_conflicts,
+    team_conflict_summary,
 )
 
 
 class PrioritizedPlanning(CBS):
-    """Shares CBS's helpers (soft-constraint builder, conflict detection);
+    """Shares CBS's helpers (soft-constraint builder, conflict machinery);
     the reference similarly duplicates that code between the classes."""
 
     def __init__(self, low_level_planner_l, start_l, goal_l,
@@ -50,34 +47,51 @@ class PrioritizedPlanning(CBS):
         t_start = time.time()
         status = TrialSuccessStatus.UNKNOWN
 
-        root = SearchState([], [])
+        path_tiles: List[jax.Array] = []
+        ix_best: List[int] = []
         for i in range(self.num_agents):
-            constraint_l = self.create_soft_constraints_from_other_agents_paths(root, i)
+            partial = SearchState(jnp.stack(path_tiles) if path_tiles else None,
+                                  list(ix_best))
+            constraint_l = self.create_soft_constraints_from_other_agents_paths(
+                partial, i, n_agents_in_state=len(path_tiles)) if path_tiles else []
             for c in constraint_l:
                 c.is_soft = False  # priority constraints are hard (:150-154)
                 c.t_range_l = [
                     (max(0, min(t0, default_params.horizon - 1)),
                      min(default_params.horizon - 1, t1))
                     for t0, t1 in c.t_range_l]
-            out = self.low_level_planner_l[i](self.start_state_pos_l[i],
-                                              self.goal_state_pos_l[i],
-                                              constraints_l=constraint_l)
-            if out.trajs_final_free_idxs.shape[0] == 0:
+            planner = self.low_level_planner_l[i]
+            res = planner._run(constraint_l, None)
+
+            if path_tiles:
+                # Fewest-conflicts selection vs already-planned agents
+                # (:172-183), one fused device call: stack previous agents
+                # plus a placeholder row for agent i.
+                paths_pos = jnp.concatenate([
+                    _best_paths_pos(jnp.stack(path_tiles), jnp.asarray(ix_best)),
+                    jnp.full((1, res.trajs_final.shape[1], 2), 1e6)], axis=0)
+                ix, count, _, _, _, _, any_free = jax.device_get(
+                    (*select_candidate_and_conflicts(
+                        res.trajs_final[..., :2], res.free_mask, len(path_tiles),
+                        paths_pos, self.margin), jnp.any(res.free_mask)))
+            else:
+                ix, any_free = jax.device_get((res.idx_best, jnp.any(res.free_mask)))
+            if not bool(any_free):
                 status = TrialSuccessStatus.FAIL_NO_SOLUTION
                 break
-            root.path_bl.append(np.asarray(out.trajs_final))
-            root.ix_best_l.append(int(out.idx_best_traj))
-            # Fewest-conflicts selection among free candidates (:172-183),
-            # batched on device.
-            self._choose_best_in_batch(root, i, out.trajs_final_free_idxs)
+            path_tiles.append(res.trajs_final)
+            ix_best.append(int(ix))
             if time.time() - t_start > runtime_limit:
                 status = TrialSuccessStatus.FAIL_RUNTIME_LIMIT
                 break
 
-        conflict_l = self.get_conflicts(root) if root.path_bl else []
-        if status == TrialSuccessStatus.UNKNOWN:
-            status = (TrialSuccessStatus.FAIL_COLLISION_AGENTS if conflict_l
-                      else TrialSuccessStatus.SUCCESS)
+        if not path_tiles:
+            return [], 0, status, 0
 
-        best_path_l = global_pad_paths(root.best_paths(), self.start_time_l)
-        return best_path_l, 0, status, len(conflict_l)
+        final = SearchState(jnp.stack(path_tiles), ix_best)
+        self._summarize(final)
+        if status == TrialSuccessStatus.UNKNOWN:
+            status = (TrialSuccessStatus.FAIL_COLLISION_AGENTS
+                      if final.n_conflicts else TrialSuccessStatus.SUCCESS)
+        best_path_l = global_pad_paths(final.best_paths(), self.start_time_l)
+        return best_path_l, 0, status, final.n_conflicts

@@ -177,14 +177,18 @@ def save_checkpoint(model_dir: str, model: TemporalUnet, state: TrainState,
 
 def load_checkpoint(model_dir: str, use_ema: bool = True):
     """Returns (model, params, schedule, info dict)."""
+    from mmd_tpu.models.temporal_unet import init_unet_abstract
+
     with open(os.path.join(model_dir, "args.yaml")) as f:
         info = yaml.safe_load(f)
-    model, params = init_unet(jax.random.PRNGKey(0), horizon=info["horizon"],
-                              state_dim=info["state_dim"],
-                              unet_input_dim=info["unet_input_dim"],
-                              dim_mults=tuple(info["dim_mults"]))
+    # Abstract init: only the params STRUCTURE is needed to deserialize —
+    # running model.init would compile a throwaway forward pass.
+    model, shapes = init_unet_abstract(horizon=info["horizon"],
+                                       state_dim=info["state_dim"],
+                                       unet_input_dim=info["unet_input_dim"],
+                                       dim_mults=tuple(info["dim_mults"]))
     name = "ema_model.msgpack" if use_ema else "model.msgpack"
     with open(os.path.join(model_dir, name), "rb") as f:
-        params = serialization.from_bytes(params, f.read())
+        params = serialization.from_bytes(shapes, f.read())
     schedule = make_schedule(info["variance_schedule"], info["n_diffusion_steps"])
     return model, params, schedule, info

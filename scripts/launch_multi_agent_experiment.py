@@ -1,0 +1,69 @@
+"""Experiment sets: agents x planners x trials grids with aggregation.
+
+Equivalent of scripts/inference/launch_multi_agent_experiment.py and the
+launch_mapf_* variants in the reference.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from mmd_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from mmd_tpu.experiments.experiment_utils import combine_and_save_results_for_experiment
+from mmd_tpu.experiments.experiments import MultiAgentPlanningExperimentConfig
+from mmd_tpu.experiments.trial import run_multi_agent_trial
+
+
+def run_multi_agent_experiment(cfg: MultiAgentPlanningExperimentConfig,
+                               results_root: str = "./results"):
+    """Sequential trial loop with per-trial error capture
+    (reference: launch_multi_agent_experiment.py:31-58)."""
+    cfg.save(results_root)
+    for trial_cfg in cfg.get_single_trial_configs_from_experiment_config():
+        try:
+            result = run_multi_agent_trial(trial_cfg, results_root=results_root)
+            print(f"[{trial_cfg.multi_agent_planner_class} "
+                  f"n={trial_cfg.num_agents} trial={trial_cfg.trial_number}] "
+                  f"{result.success_status} in {result.planning_time:.1f}s")
+        except Exception as e:  # noqa: BLE001 — sweep continues past failures
+            err_path = os.path.join(results_root, f"error_{cfg.time_str}.txt")
+            with open(err_path, "a") as f:
+                f.write(f"{trial_cfg}: {e!r}\n")
+            print(f"trial failed: {e!r}")
+    return combine_and_save_results_for_experiment(cfg, results_root)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--instance", default="EnvEmptyNoWait2DRobotPlanarDiskCircle")
+    ap.add_argument("--num_agents", type=int, nargs="+", default=[3, 6, 9])
+    ap.add_argument("--planners", nargs="+",
+                    default=["XECBS", "ECBS", "PP", "CBS", "XCBS"])
+    ap.add_argument("--trials", type=int, default=10)
+    ap.add_argument("--runtime_limit", type=float, default=180.0)
+    ap.add_argument("--stagger_dt", type=int, default=0)
+    args = ap.parse_args()
+
+    cfg = MultiAgentPlanningExperimentConfig(
+        time_str=time.strftime("%y-%m-%d--%H-%M-%S"),
+        instance_name=args.instance,
+        num_agents_l=args.num_agents,
+        multi_agent_planner_class_l=args.planners,
+        num_trials_per_combination=args.trials,
+        runtime_limit=args.runtime_limit,
+        stagger_start_time_dt=args.stagger_dt,
+    )
+    analyzed = run_multi_agent_experiment(cfg)
+    for n, per_planner in analyzed.items():
+        for planner, metrics in per_planner.items():
+            print(f"n={n} {planner}: success={metrics['success_rate']:.2f} "
+                  f"time={metrics['avg_planning_time']:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
