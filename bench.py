@@ -65,6 +65,11 @@ def make_team_planner(planners, starts, goals):
 
     if PLANNER == "PP":
         return PrioritizedPlanning(planners, starts, goals)
+    if PLANNER == "XCBS-R":
+        # Flagship: batched root + one Jacobi soft-repair round + XCBS
+        # local-inference expansions.
+        return CBS(planners, starts, goals, is_ecbs=False, is_xcbs=True,
+                   root_repair_rounds=1)
     flags = {"CBS": (False, False), "ECBS": (True, False),
              "XCBS": (False, True), "XECBS": (True, True)}[PLANNER]
     return CBS(planners, starts, goals, is_ecbs=flags[0], is_xcbs=flags[1])

@@ -27,6 +27,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax.struct import dataclass as pytree_dataclass
 
 from mmd_tpu.config import DiffusionConfig
@@ -207,6 +208,60 @@ def run_local_inference(apply_fn, params, schedule: DiffusionSchedule,
                                     n_diffusion_steps=n_denoising_steps,
                                     warm_start=warm)
     return chain
+
+
+def ddim_sample_loop(
+    apply_fn: Callable,
+    params,
+    schedule: DiffusionSchedule,
+    hard: HardConds,
+    key: jax.Array,
+    cfg: DiffusionConfig,
+    gd: Optional[GuideData] = None,
+    guide_cfg: Optional[GuideConfig] = None,
+    n_samples: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """DDIM sampling with eta=0 over n_steps//5 substeps.
+
+    Mirrors GaussianDiffusionModel.ddim_sample
+    (diffusion_model_base.py:214-291): time pairs
+    [(T-1, ...), ..., (0, -1)], x0-prediction clamped, deterministic update
+    x_{t'} = sqrt(ac_{t'}) x0 + sqrt(1-ac_{t'}) eps, guidance below
+    t_start_guide, hard conditioning every step.
+    """
+    n_steps = cfg.n_diffusion_steps
+    sub = max(1, n_steps // 5)
+    times = [-1] + list(np.linspace(0, n_steps - 1, sub + 1).astype(int))
+    times = times[::-1]
+    pairs = list(zip(times[:-1], times[1:]))  # [(T-1, ...), ..., (0, -1)]
+
+    B = n_samples if n_samples is not None else cfg.n_samples
+    key, init_key = jax.random.split(key)
+    x = jax.random.normal(init_key, (B, cfg.horizon, cfg.state_dim))
+    x = hard.apply(x)
+
+    chain = [x[None]]
+    for t, t_next in pairs:
+        tb = jnp.full((B,), t, jnp.int32)
+        eps = apply_fn(params, x, tb)
+        x0 = predict_start_from_noise(schedule, x, tb, eps)
+        if cfg.clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        if t_next < 0:
+            x = x0
+        else:
+            ac_next = schedule.alphas_cumprod[t_next]
+            x = jnp.sqrt(ac_next) * x0 + jnp.sqrt(1.0 - ac_next) * eps
+        if gd is not None and t < cfg.t_start_guide:
+            def guide_step(_, xx):
+                xx = xx + guide_gradient(xx, gd, guide_cfg)
+                return hard.apply(xx)
+
+            x = jax.lax.fori_loop(0, cfg.n_guide_steps, guide_step, x)
+        x = hard.apply(x)
+        chain.append(x[None])
+
+    return x, jnp.concatenate(chain, axis=0)
 
 
 # ---------------------------------------------------------------- training

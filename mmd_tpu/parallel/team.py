@@ -52,6 +52,94 @@ def stack_hard_conds(hard_l: List[HardConds]) -> HardConds:
     return HardConds(mask=mask, values=values)
 
 
+@functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "guide_cfg"))
+def plan_fresh_team_constrained(apply_fn, params, schedule, hard_team: HardConds,
+                                scene, normalizer, csets, keys: jax.Array,
+                                cfg: DiffusionConfig, guide_cfg: GuideConfig,
+                                radius, q_min, q_max, savgol) -> PlanResult:
+    """Like plan_fresh_team, but with a per-agent stacked ConstraintSet
+    (csets leaves lead with the agent axis) — the batched soft-constrained
+    team re-plan used for Jacobi root repair."""
+
+    def one_agent(values, key, cset):
+        gd = GuideData(scene=scene, normalizer=normalizer, constraints=cset)
+        hard = HardConds(mask=hard_team.mask, values=values)
+        _, chain = guided_p_sample_loop(apply_fn, params, schedule, hard, key,
+                                        cfg, gd=gd, guide_cfg=guide_cfg)
+        return _finalize_plan(chain, normalizer, scene, radius, q_min, q_max,
+                              savgol)
+
+    return jax.vmap(one_agent, in_axes=(0, 0, 0))(hard_team.values, keys, csets)
+
+
+@jax.jit
+def team_select_by_conflicts(cand_all: jax.Array, free_all: jax.Array,
+                             prev_pos: jax.Array, margin: float) -> jax.Array:
+    """Per-agent least-collisions selection vs the team's previous paths.
+
+    cand_all: (A, B, T, 2); free_all: (A, B); prev_pos: (A, T, 2) -> (A,).
+    Jacobi analog of the reference's per-agent sequential selection.
+    """
+    from mmd_tpu.planners.multi_agent.conflict_detection import (
+        candidate_conflict_counts,
+    )
+
+    A = cand_all.shape[0]
+
+    def one(cand, free, idx):
+        counts = candidate_conflict_counts(cand, idx, prev_pos, margin)
+        big = jnp.iinfo(jnp.int32).max
+        return jnp.argmin(jnp.where(free, counts, big)).astype(jnp.int32)
+
+    return jax.vmap(one, in_axes=(0, 0, 0))(cand_all, free_all, jnp.arange(A))
+
+
+def soft_constraint_sets_from_paths(pos: np.ndarray, radius: float,
+                                    max_constraints: int = 4,
+                                    max_points: int = 2048):
+    """Vectorized construction of per-agent soft ConstraintSets from the
+    team's current best positions.
+
+    pos: (A, T, 2). For agent i, one soft constraint holding a
+    (q, [t, t+1]) ball per other-agent waypoint with 1 <= t <= T-1 —
+    the ECBS soft-constraint recipe (reference: cbs.py:468-506) built as
+    arrays without per-point Python loops.
+    """
+    import numpy as onp
+
+    from mmd_tpu.costs.constraints import ConstraintSet
+    from mmd_tpu.config import params as default_params
+
+    A, T, _ = pos.shape
+    n_pts = (A - 1) * (T - 1)
+    if n_pts > max_points:
+        raise ValueError(f"{n_pts} soft points > bucket {max_points}")
+    K, P = max_constraints, max_points
+
+    q = onp.zeros((A, K, P, 2), onp.float32)
+    t_range = onp.zeros((A, K, P, 2), onp.float32)
+    rad = onp.zeros((A, K, P), onp.float32)
+    weight = onp.zeros((A, K), onp.float32)
+    pmask = onp.zeros((A, K, P), onp.float32)
+    active = onp.zeros((A, K), onp.float32)
+
+    ts = onp.arange(1, T, dtype=onp.float32)                       # (T-1,)
+    tr = onp.stack([ts, ts + 1], axis=-1)                           # (T-1, 2)
+    for i in range(A):
+        others = onp.concatenate([pos[:i], pos[i + 1:]], axis=0)    # (A-1, T, 2)
+        pts = others[:, 1:, :].reshape(-1, 2)                       # ((A-1)(T-1), 2)
+        q[i, 0, :n_pts] = pts
+        t_range[i, 0, :n_pts] = onp.tile(tr, (A - 1, 1))
+        rad[i, 0, :n_pts] = radius
+        pmask[i, 0, :n_pts] = 1.0
+        weight[i, 0] = default_params.weight_grad_cost_soft_constraints
+        active[i, 0] = 1.0
+
+    return ConstraintSet(q=jnp.asarray(q), t_range=jnp.asarray(t_range),
+                         radius=jnp.asarray(rad), weight=jnp.asarray(weight),
+                         point_mask=jnp.asarray(pmask), active=jnp.asarray(active))
+
+
 def _batchable(planners: List) -> bool:
     p0 = planners[0]
     for p in planners[1:]:

@@ -95,7 +95,8 @@ class CBS:
                  start_time_l: Optional[List[int]] = None,
                  is_xcbs: bool = False, is_ecbs: bool = True,
                  reference_robot=None, reference_task=None,
-                 validate_start_goal: bool = True, verbose: bool = False):
+                 validate_start_goal: bool = True, verbose: bool = False,
+                 root_repair_rounds: int = 0):
         self.low_level_planner_l = low_level_planner_l
         self.is_xcbs = is_xcbs
         self.is_ecbs = is_ecbs
@@ -108,6 +109,11 @@ class CBS:
         self.reference_task = reference_task or low_level_planner_l[0].task
         self.margin = self.reference_robot.rr_margin
         self.verbose = verbose
+        # TPU-first extension beyond the reference: after the batched root,
+        # run k Jacobi rounds where EVERY agent simultaneously re-plans with
+        # soft constraints from the others' current paths (the parallel
+        # analog of ECBS's sequential soft-constrained root, cbs.py:316-335).
+        self.root_repair_rounds = root_repair_rounds
         self.open_l: List[SearchState] = []
         if validate_start_goal and not is_multi_agent_start_goal_states_valid(
                 self.reference_robot, self.reference_task,
@@ -206,6 +212,8 @@ class CBS:
                 status = TrialSuccessStatus.FAIL_NO_SOLUTION
             else:
                 root = SearchState(trajs_all, [int(i) for i in idx_best])
+                for _ in range(self.root_repair_rounds):
+                    root = self._repair_root(root)
         else:
             for i in range(self.num_agents):
                 partial = SearchState(
@@ -256,6 +264,40 @@ class CBS:
             return [], num_expansions, status, 0
         best_path_l = global_pad_paths(state.best_paths(), self.start_time_l)
         return best_path_l, num_expansions, status, state.n_conflicts
+
+    # ------------------------------------------------------------- repair
+    def _repair_root(self, root: SearchState) -> SearchState:
+        """One Jacobi repair round: every agent re-plans in parallel under
+        soft constraints from the others' current best paths, then selects
+        its least-conflicts free candidate vs those paths."""
+        from mmd_tpu.parallel.team import (
+            plan_fresh_team_constrained,
+            soft_constraint_sets_from_paths,
+            stack_hard_conds,
+            team_select_by_conflicts,
+        )
+
+        planners = self.low_level_planner_l
+        p0 = planners[0]
+        prev_pos = _best_paths_pos(root.paths_all, jnp.asarray(root.ix_best))
+        csets = soft_constraint_sets_from_paths(
+            np.asarray(prev_pos), default_params.vertex_constraint_radius)
+        hard_team = stack_hard_conds([p.hard_conds for p in planners])
+        keys = jnp.stack([p._next_key() for p in planners])
+        res = plan_fresh_team_constrained(
+            p0.model.apply, p0.params, p0.schedule, hard_team, p0.task.scene,
+            p0.dataset.normalizer, csets, keys, p0.cfg, p0.guide_cfg,
+            p0.robot.radius, p0.robot.q_min, p0.robot.q_max, p0._savgol)
+        ix = team_select_by_conflicts(res.trajs_final[..., :2], res.free_mask,
+                                      prev_pos, self.margin)
+        free_any = np.asarray(jnp.any(res.free_mask, axis=-1))
+        ix = np.asarray(ix)
+        # Keep the old plan for any agent whose repair found nothing free.
+        new_paths = jnp.where(jnp.asarray(free_any)[:, None, None, None],
+                              res.trajs_final, root.paths_all)
+        new_ix = [int(ix[i]) if free_any[i] else root.ix_best[i]
+                  for i in range(self.num_agents)]
+        return SearchState(new_paths, new_ix)
 
     # -------------------------------------------------------------- expand
     def expand(self, state: SearchState):

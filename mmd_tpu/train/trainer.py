@@ -53,6 +53,27 @@ class TrainConfig:
     variance_schedule: str = "exponential"
 
 
+class EarlyStopper:
+    """Patience-based early stopping on validation loss
+    (reference: trainer.py:48-67)."""
+
+    def __init__(self, patience: int = 10, min_delta: float = 0.0):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.counter = 0
+        self.min_validation_loss = float("inf")
+
+    def early_stop(self, validation_loss: float) -> bool:
+        if validation_loss < self.min_validation_loss:
+            self.min_validation_loss = validation_loss
+            self.counter = 0
+        elif validation_loss > self.min_validation_loss + self.min_delta:
+            self.counter += 1
+            if self.counter >= self.patience:
+                return True
+        return False
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(cfg.clip_grad_max_norm),
@@ -110,9 +131,17 @@ def train(dataset: TrajectoryDataset,
           model_dir: Optional[str] = None,
           log_every: int = 500,
           steps_til_checkpoint: Optional[int] = None,
-          log_fn: Optional[Callable] = None):
+          log_fn: Optional[Callable] = None,
+          val_fraction: float = 0.05,
+          validate_every: Optional[int] = None,
+          early_stop_patience: Optional[int] = None,
+          summary_every: Optional[int] = None):
     """Train a TemporalUnet diffusion model on `dataset`.
 
+    Mirrors the reference recipe (trainer.py:119-335): Adam + clip + EMA,
+    periodic validation on a 95/5 split with optional early stopping
+    (train_loaders.py:59-82, trainer.py:48-67, 224-251), periodic sampling
+    summaries, loss-history .npy dumps, and checkpointing.
     Returns (model, final TrainState, schedule, losses list).
     """
     key = jax.random.PRNGKey(seed)
@@ -125,7 +154,20 @@ def train(dataset: TrajectoryDataset,
     state = init_train_state(params, optimizer)
     step_fn = make_train_step(model.apply, schedule, optimizer, cfg)
 
-    losses = []
+    # 95/5 train/validation split (train_loaders.py:59-82).
+    n_val = max(1, int(dataset.n_trajs * val_fraction)) if validate_every else 0
+    val_batch = dataset.trajs_normalized[:n_val] if n_val else None
+    stopper = EarlyStopper(patience=early_stop_patience) if early_stop_patience else None
+
+    @jax.jit
+    def val_loss_fn(params, key):
+        H = dataset.n_support_points
+        mask = jnp.zeros((H, 1)).at[0].set(1.0).at[H - 1].set(1.0)
+        hard = HardConds(mask=mask, values=val_batch)
+        return diffusion_loss(model.apply, params, schedule, val_batch, hard,
+                              key, cfg.n_diffusion_steps)
+
+    losses, val_losses = [], []
     t0 = time.perf_counter()
     for i in range(num_train_steps):
         key, bkey, lkey = jax.random.split(key, 3)
@@ -136,12 +178,31 @@ def train(dataset: TrajectoryDataset,
             losses.append((i + 1, lv))
             msg = f"step {i + 1}/{num_train_steps} loss {lv:.5f} ({time.perf_counter() - t0:.1f}s)"
             (log_fn or print)(msg)
+        if validate_every and (i + 1) % validate_every == 0:
+            key, vkey = jax.random.split(key)
+            vl = float(val_loss_fn(state.params, vkey))
+            val_losses.append((i + 1, vl))
+            (log_fn or print)(f"step {i + 1} val_loss {vl:.5f}")
+            if stopper and stopper.early_stop(vl):
+                (log_fn or print)(f"early stopped at step {i + 1}")
+                break
+        if summary_every and (i + 1) % summary_every == 0 and model_dir:
+            from mmd_tpu.train.summary import summary_trajectory_generation
+            key, skey = jax.random.split(key)
+            stats = summary_trajectory_generation(
+                model, state.ema_params, schedule, dataset, skey,
+                save_dir=os.path.join(model_dir, "summaries"), step=i + 1)
+            (log_fn or print)(f"summary {stats}")
         if model_dir and steps_til_checkpoint and (i + 1) % steps_til_checkpoint == 0:
             save_checkpoint(model_dir, model, state, dataset, cfg,
                             suffix=f"_step_{i + 1:07d}")
 
     if model_dir:
         save_checkpoint(model_dir, model, state, dataset, cfg)
+        # Loss-history dumps (trainer.py:43 save_losses_to_disk).
+        np.save(os.path.join(model_dir, "train_losses.npy"), np.asarray(losses))
+        if val_losses:
+            np.save(os.path.join(model_dir, "val_losses.npy"), np.asarray(val_losses))
     return model, state, schedule, losses
 
 
