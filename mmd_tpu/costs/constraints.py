@@ -105,6 +105,89 @@ def pack_constraint_set(
     )
 
 
+@pytree_dataclass
+class SoftPathConstraints:
+    """Specialized per-waypoint constraint group: one keep-out ball per
+    (row, waypoint) pair, aligned with the trajectory's time axis.
+
+    This is the shape of ECBS/PP soft constraints (reference cbs.py:468-506:
+    one (q, [t, t+1], r) triple per other-agent waypoint): every point
+    affects exactly ONE waypoint, so the cost is a (B, R, T) distance tensor
+    instead of the generic padded form's (B, K, P, H) — ~H times cheaper.
+    The whole group is one cost term with one gradient clip, matching the
+    reference's single aggregated MultiPointConstraint.
+    """
+
+    points: jax.Array  # (R, T, q_dim) — row r's ball center at waypoint t
+    mask: jax.Array    # (R, T) 1.0 where active
+    radius: jax.Array  # () scalar
+    weight: jax.Array  # () scalar guidance weight (hard/soft)
+
+    @property
+    def rows(self) -> int:
+        return self.points.shape[0]
+
+
+def empty_soft_path_constraints(rows: int, horizon: int, q_dim: int = 2) -> SoftPathConstraints:
+    return SoftPathConstraints(
+        points=jnp.zeros((rows, horizon, q_dim)),
+        mask=jnp.zeros((rows, horizon)),
+        radius=jnp.asarray(0.0), weight=jnp.asarray(0.0))
+
+
+def soft_path_cost(q_pos: jax.Array, spc: SoftPathConstraints) -> jax.Array:
+    """q_pos: (B, T, q_dim) -> (B,). sum_{r,t} mask * relu(radius - dist)."""
+    d = jnp.linalg.norm(q_pos[:, None, :, :] - spc.points[None], axis=-1)  # (B, R, T)
+    pen = jnp.maximum(spc.radius - d, 0.0) * spc.mask[None]
+    return pen.sum(axis=(1, 2))
+
+
+def split_soft_path_constraints(constraints_l, horizon: int,
+                                row_buckets=(4, 8, 16, 32, 64),
+                                min_points: int = 32,
+                                hard_weight: float = default_params.weight_grad_cost_constraints,
+                                soft_weight: float = default_params.weight_grad_cost_soft_constraints):
+    """Split one large per-waypoint constraint out of a constraint list.
+
+    Returns (remaining_constraints, SoftPathConstraints or None). Only a
+    single such group is split (the reference creates exactly one per call);
+    with several, all stay on the generic path to preserve per-constraint
+    gradient clipping.
+    """
+    path_like = [c for c in constraints_l
+                 if len(c.q_l) >= min_points
+                 and all(t1 - t0 == 1 for t0, t1 in c.t_range_l)
+                 and len(set(c.radius_l)) == 1]
+    if len(path_like) != 1:
+        return list(constraints_l), None
+    c = path_like[0]
+    rest = [x for x in constraints_l if x is not c]
+
+    # Group points by waypoint t into rows.
+    per_t: dict = {}
+    for q, (t0, _t1) in zip(c.q_l, c.t_range_l):
+        t = int(t0)
+        if 0 <= t < horizon:
+            per_t.setdefault(t, []).append(np.asarray(q, np.float32)[:2])
+    n_rows = max((len(v) for v in per_t.values()), default=0)
+    if n_rows == 0:
+        return rest, None
+    R = next((b for b in row_buckets if n_rows <= b), None)
+    if R is None:
+        return list(constraints_l), None
+    points = np.zeros((R, horizon, 2), np.float32)
+    mask = np.zeros((R, horizon), np.float32)
+    for t, pts in per_t.items():
+        for r, q in enumerate(pts):
+            points[r, t] = q
+            mask[r, t] = 1.0
+    weight = soft_weight if c.is_soft else hard_weight
+    spc = SoftPathConstraints(points=jnp.asarray(points), mask=jnp.asarray(mask),
+                              radius=jnp.asarray(float(c.radius_l[0])),
+                              weight=jnp.asarray(weight))
+    return rest, spc
+
+
 def constraint_cost_single(q_pos: jax.Array, cset: ConstraintSet, k) -> jax.Array:
     """Cost of constraint k over a batch. q_pos: (B, H, q_dim) -> (B,)."""
     H = q_pos.shape[-2]

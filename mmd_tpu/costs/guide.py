@@ -39,7 +39,12 @@ import jax.numpy as jnp
 from flax.struct import dataclass as pytree_dataclass
 
 from mmd_tpu.config import params as default_params
-from mmd_tpu.costs.constraints import ConstraintSet, constraint_cost_single
+from mmd_tpu.costs.constraints import (
+    ConstraintSet,
+    SoftPathConstraints,
+    constraint_cost_single,
+    soft_path_cost,
+)
 from mmd_tpu.costs.gp import gp_trajectory_cost
 from mmd_tpu.datasets.normalization import LimitsNormalizer
 from mmd_tpu.envs.envs import SceneData
@@ -75,6 +80,9 @@ class GuideData:
     scene: SceneData
     normalizer: LimitsNormalizer  # over the state dim (4,)
     constraints: ConstraintSet
+    # Optional specialized per-waypoint group (ECBS/PP soft constraints);
+    # presence/absence selects a compile variant, contents are data.
+    soft_paths: Optional[SoftPathConstraints] = None
 
 
 def _collision_points(u: jax.Array, cfg: GuideConfig) -> jax.Array:
@@ -139,5 +147,11 @@ def guide_gradient(x_norm: jax.Array, gd: GuideData, cfg: GuideConfig) -> jax.Ar
 
         g_cons = jax.vmap(one_constraint)(jnp.arange(cset.max_constraints))
         total = total + g_cons.sum(axis=0)
+
+    if gd.soft_paths is not None:
+        g_sp = jax.grad(
+            lambda v: soft_path_cost(v[..., : cfg.q_dim], gd.soft_paths).sum()
+        )(u)
+        total = total + gd.soft_paths.weight * _finish(g_sp, cfg.max_grad_norm)
 
     return -total

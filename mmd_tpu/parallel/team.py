@@ -53,23 +53,25 @@ def stack_hard_conds(hard_l: List[HardConds]) -> HardConds:
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "guide_cfg"))
-def plan_fresh_team_constrained(apply_fn, params, schedule, hard_team: HardConds,
-                                scene, normalizer, csets, keys: jax.Array,
-                                cfg: DiffusionConfig, guide_cfg: GuideConfig,
-                                radius, q_min, q_max, savgol) -> PlanResult:
-    """Like plan_fresh_team, but with a per-agent stacked ConstraintSet
-    (csets leaves lead with the agent axis) — the batched soft-constrained
-    team re-plan used for Jacobi root repair."""
+def plan_fresh_team_soft(apply_fn, params, schedule, hard_team: HardConds,
+                         scene, normalizer, base_cset, soft_team, keys: jax.Array,
+                         cfg: DiffusionConfig, guide_cfg: GuideConfig,
+                         radius, q_min, q_max, savgol) -> PlanResult:
+    """Batched team plan where every agent carries a per-agent
+    SoftPathConstraints group (leaves lead with the agent axis) — the
+    Jacobi root-repair call: all agents re-plan simultaneously, each softly
+    avoiding the others' current paths."""
 
-    def one_agent(values, key, cset):
-        gd = GuideData(scene=scene, normalizer=normalizer, constraints=cset)
+    def one_agent(values, key, spc):
+        gd = GuideData(scene=scene, normalizer=normalizer,
+                       constraints=base_cset, soft_paths=spc)
         hard = HardConds(mask=hard_team.mask, values=values)
         _, chain = guided_p_sample_loop(apply_fn, params, schedule, hard, key,
                                         cfg, gd=gd, guide_cfg=guide_cfg)
         return _finalize_plan(chain, normalizer, scene, radius, q_min, q_max,
                               savgol)
 
-    return jax.vmap(one_agent, in_axes=(0, 0, 0))(hard_team.values, keys, csets)
+    return jax.vmap(one_agent, in_axes=(0, 0, 0))(hard_team.values, keys, soft_team)
 
 
 @jax.jit
@@ -94,50 +96,28 @@ def team_select_by_conflicts(cand_all: jax.Array, free_all: jax.Array,
     return jax.vmap(one, in_axes=(0, 0, 0))(cand_all, free_all, jnp.arange(A))
 
 
-def soft_constraint_sets_from_paths(pos: np.ndarray, radius: float,
-                                    max_constraints: int = 4,
-                                    max_points: int = 2048):
-    """Vectorized construction of per-agent soft ConstraintSets from the
-    team's current best positions.
+def team_soft_paths(pos: np.ndarray, radius: float,
+                    weight: Optional[float] = None):
+    """Per-agent stacked SoftPathConstraints from team best positions.
 
-    pos: (A, T, 2). For agent i, one soft constraint holding a
-    (q, [t, t+1]) ball per other-agent waypoint with 1 <= t <= T-1 —
-    the ECBS soft-constraint recipe (reference: cbs.py:468-506) built as
-    arrays without per-point Python loops.
+    pos: (A, T, 2) -> SoftPathConstraints with leaves leading (A, A-1, ...):
+    agent i's rows are the other agents' paths, masked to t in [1, T-1]
+    (the ECBS soft-constraint recipe, reference cbs.py:468-506).
     """
-    import numpy as onp
-
-    from mmd_tpu.costs.constraints import ConstraintSet
     from mmd_tpu.config import params as default_params
+    from mmd_tpu.costs.constraints import SoftPathConstraints
 
     A, T, _ = pos.shape
-    n_pts = (A - 1) * (T - 1)
-    if n_pts > max_points:
-        raise ValueError(f"{n_pts} soft points > bucket {max_points}")
-    K, P = max_constraints, max_points
-
-    q = onp.zeros((A, K, P, 2), onp.float32)
-    t_range = onp.zeros((A, K, P, 2), onp.float32)
-    rad = onp.zeros((A, K, P), onp.float32)
-    weight = onp.zeros((A, K), onp.float32)
-    pmask = onp.zeros((A, K, P), onp.float32)
-    active = onp.zeros((A, K), onp.float32)
-
-    ts = onp.arange(1, T, dtype=onp.float32)                       # (T-1,)
-    tr = onp.stack([ts, ts + 1], axis=-1)                           # (T-1, 2)
+    if weight is None:
+        weight = default_params.weight_grad_cost_soft_constraints
+    points = np.zeros((A, A - 1, T, 2), np.float32)
+    mask = np.zeros((A, A - 1, T), np.float32)
     for i in range(A):
-        others = onp.concatenate([pos[:i], pos[i + 1:]], axis=0)    # (A-1, T, 2)
-        pts = others[:, 1:, :].reshape(-1, 2)                       # ((A-1)(T-1), 2)
-        q[i, 0, :n_pts] = pts
-        t_range[i, 0, :n_pts] = onp.tile(tr, (A - 1, 1))
-        rad[i, 0, :n_pts] = radius
-        pmask[i, 0, :n_pts] = 1.0
-        weight[i, 0] = default_params.weight_grad_cost_soft_constraints
-        active[i, 0] = 1.0
-
-    return ConstraintSet(q=jnp.asarray(q), t_range=jnp.asarray(t_range),
-                         radius=jnp.asarray(rad), weight=jnp.asarray(weight),
-                         point_mask=jnp.asarray(pmask), active=jnp.asarray(active))
+        points[i] = np.concatenate([pos[:i], pos[i + 1:]], axis=0)
+        mask[i, :, 1:] = 1.0
+    return SoftPathConstraints(
+        points=jnp.asarray(points), mask=jnp.asarray(mask),
+        radius=jnp.full((A,), radius), weight=jnp.full((A,), weight))
 
 
 def _batchable(planners: List) -> bool:
@@ -162,7 +142,7 @@ def plan_team_roots_device(planners: List):
     p0 = planners[0]
     hard_team = stack_hard_conds([p.hard_conds for p in planners])
     keys = jnp.stack([p._next_key() for p in planners])
-    gd = p0._guide_data(p0._pack(None))
+    gd = p0._guide_data(*p0._pack(None))
     res = plan_fresh_team(p0.model.apply, p0.params, p0.schedule, hard_team,
                           gd, keys, p0.cfg, p0.guide_cfg, p0.task.scene,
                           p0.robot.radius, p0.robot.q_min, p0.robot.q_max,
@@ -189,7 +169,7 @@ def plan_team_roots(planners: List) -> Optional[List]:
     t0 = time.perf_counter()
     hard_team = stack_hard_conds([p.hard_conds for p in planners])
     keys = jnp.stack([p._next_key() for p in planners])
-    gd = p0._guide_data(p0._pack(None))
+    gd = p0._guide_data(*p0._pack(None))
     res = plan_fresh_team(p0.model.apply, p0.params, p0.schedule, hard_team,
                           gd, keys, p0.cfg, p0.guide_cfg, p0.task.scene,
                           p0.robot.radius, p0.robot.q_min, p0.robot.q_max,

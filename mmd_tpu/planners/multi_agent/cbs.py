@@ -270,24 +270,26 @@ class CBS:
         """One Jacobi repair round: every agent re-plans in parallel under
         soft constraints from the others' current best paths, then selects
         its least-conflicts free candidate vs those paths."""
+        from mmd_tpu.costs.constraints import empty_constraint_set
         from mmd_tpu.parallel.team import (
-            plan_fresh_team_constrained,
-            soft_constraint_sets_from_paths,
+            plan_fresh_team_soft,
             stack_hard_conds,
             team_select_by_conflicts,
+            team_soft_paths,
         )
 
         planners = self.low_level_planner_l
         p0 = planners[0]
         prev_pos = _best_paths_pos(root.paths_all, jnp.asarray(root.ix_best))
-        csets = soft_constraint_sets_from_paths(
-            np.asarray(prev_pos), default_params.vertex_constraint_radius)
+        soft_team = team_soft_paths(np.asarray(prev_pos),
+                                    default_params.vertex_constraint_radius)
         hard_team = stack_hard_conds([p.hard_conds for p in planners])
         keys = jnp.stack([p._next_key() for p in planners])
-        res = plan_fresh_team_constrained(
+        res = plan_fresh_team_soft(
             p0.model.apply, p0.params, p0.schedule, hard_team, p0.task.scene,
-            p0.dataset.normalizer, csets, keys, p0.cfg, p0.guide_cfg,
-            p0.robot.radius, p0.robot.q_min, p0.robot.q_max, p0._savgol)
+            p0.dataset.normalizer, empty_constraint_set(4, 1), soft_team, keys,
+            p0.cfg, p0.guide_cfg, p0.robot.radius, p0.robot.q_min,
+            p0.robot.q_max, p0._savgol)
         ix = team_select_by_conflicts(res.trajs_final[..., :2], res.free_mask,
                                       prev_pos, self.margin)
         free_any = np.asarray(jnp.any(res.free_mask, axis=-1))
@@ -323,7 +325,7 @@ class CBS:
                 # team update in ONE device call (fused.py).
                 from mmd_tpu.planners.multi_agent.fused import (
                     expand_fresh, expand_local)
-                gd = planner._guide_data(planner._pack(agent_constraint_l))
+                gd = planner._guide_data(*planner._pack(agent_constraint_l))
                 common = (planner.model.apply, planner.params, planner.schedule,
                           planner.hard_conds, gd, planner._next_key(),
                           planner.cfg, planner.guide_cfg, planner.task.scene,

@@ -23,7 +23,13 @@ from flax.struct import dataclass as pytree_dataclass
 from mmd_tpu.common.constraints import MultiPointConstraint
 from mmd_tpu.common.experiences import PathBatchExperience
 from mmd_tpu.config import DiffusionConfig, params as default_params
-from mmd_tpu.costs.constraints import ConstraintSet, empty_constraint_set, pack_constraint_set
+from mmd_tpu.costs.constraints import (
+    ConstraintSet,
+    SoftPathConstraints,
+    empty_constraint_set,
+    pack_constraint_set,
+    split_soft_path_constraints,
+)
 from mmd_tpu.costs.guide import GuideConfig, GuideData
 from mmd_tpu.datasets.trajectories import TrajectoryDataset
 from mmd_tpu.models.diffusion import (
@@ -170,17 +176,24 @@ class MPD:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _pack(self, constraints_l: Optional[List[MultiPointConstraint]]) -> ConstraintSet:
-        constraints_l = constraints_l or []
-        if not constraints_l:
-            return empty_constraint_set(K_BUCKETS[0], P_BUCKETS[0])
-        K = _bucket(len(constraints_l), K_BUCKETS)
-        P = _bucket(max(len(c.q_l) for c in constraints_l), P_BUCKETS)
-        return pack_constraint_set(constraints_l, K, P)
+    def _pack(self, constraints_l: Optional[List[MultiPointConstraint]]):
+        """Returns (generic ConstraintSet, optional SoftPathConstraints).
 
-    def _guide_data(self, cset: ConstraintSet) -> GuideData:
+        Large per-waypoint groups (ECBS/PP soft constraints) split into the
+        specialized form — (B, R, T) cost instead of (B, K, P, H)."""
+        constraints_l = constraints_l or []
+        rest, spc = split_soft_path_constraints(constraints_l,
+                                                self.n_support_points)
+        if not rest:
+            return empty_constraint_set(K_BUCKETS[0], P_BUCKETS[0]), spc
+        K = _bucket(len(rest), K_BUCKETS)
+        P = _bucket(max(len(c.q_l) for c in rest), P_BUCKETS)
+        return pack_constraint_set(rest, K, P), spc
+
+    def _guide_data(self, cset: ConstraintSet,
+                    spc: Optional[SoftPathConstraints] = None) -> GuideData:
         return GuideData(scene=self.task.scene, normalizer=self.dataset.normalizer,
-                         constraints=cset)
+                         constraints=cset, soft_paths=spc)
 
     def warmup(self):
         """Precompile the fresh-plan path (reference warmup, mpd.py:176-177)."""
@@ -188,7 +201,7 @@ class MPD:
         jax.block_until_ready(out.trajs_final)
 
     def _run(self, constraints_l, experience) -> PlanResult:
-        gd = self._guide_data(self._pack(constraints_l))
+        gd = self._guide_data(*self._pack(constraints_l))
         args = (self.task.scene, self.robot.radius, self.robot.q_min,
                 self.robot.q_max, self._savgol)
         if experience is None:

@@ -8,9 +8,9 @@ from mmd_tpu.datagen.synthetic import generate_linear_dataset
 from mmd_tpu.parallel.sharding import make_mesh, replicate, shard_leading_axis
 from mmd_tpu.parallel.team import (
     plan_team_roots_device,
-    soft_constraint_sets_from_paths,
     stack_hard_conds,
     team_select_by_conflicts,
+    team_soft_paths,
 )
 from mmd_tpu.planners.multi_agent.cbs import CBS
 from mmd_tpu.planners.single_agent.mpd import MPD
@@ -67,17 +67,16 @@ def test_team_roots_not_batchable_mixed_params(trained_setup):
     assert plan_team_roots_device(planners) is None
 
 
-def test_soft_constraint_sets_from_paths():
+def test_team_soft_paths():
     pos = np.zeros((3, 10, 2), np.float32)
     pos[1] += 0.5
     pos[2] -= 0.5
-    csets = soft_constraint_sets_from_paths(pos, radius=0.12, max_points=64)
-    assert csets.q.shape == (3, 4, 64, 2)
-    # Agent 0's constraint holds agents 1 and 2's waypoints 1..9.
-    assert float(csets.point_mask[0, 0].sum()) == 18
-    np.testing.assert_allclose(np.asarray(csets.q[0, 0, 0]), [0.5, 0.5])
-    assert float(csets.active[0, 0]) == 1.0
-    assert float(csets.active[0, 1]) == 0.0
+    spc = team_soft_paths(pos, radius=0.12)
+    assert spc.points.shape == (3, 2, 10, 2)
+    # Agent 0's rows are agents 1 and 2, masked to t in [1, 9].
+    assert float(spc.mask[0].sum()) == 18
+    np.testing.assert_allclose(np.asarray(spc.points[0, 0, 1]), [0.5, 0.5])
+    np.testing.assert_allclose(float(spc.radius[0]), 0.12)
 
 
 def test_team_select_by_conflicts():
