@@ -79,19 +79,19 @@ def main():
     from mmd_tpu.experiments.status import TrialSuccessStatus
     from mmd_tpu.planners.multi_agent.conflict_detection import count_conflicts
 
-    # Warmup round: builds planners and compiles every shape bucket used.
+    # Warmup round compiles every shape bucket; the measured round reuses
+    # the same planner/model objects (so every jit signature is warm) with a
+    # fresh search and fresh PRNG keys.
     planners, starts, goals = build_planners(seed=0)
     team = make_team_planner(planners, starts, goals)
     team.plan(runtime_limit=600)
 
-    # Measured round: fresh search state, compiled executables.
-    planners2, starts2, goals2 = build_planners(seed=1)
-    team2 = make_team_planner(planners2, starts2, goals2)
+    team2 = make_team_planner(planners, starts, goals)
     t0 = time.perf_counter()
     paths, n_exp, status, n_coll = team2.plan(runtime_limit=600)
     wall = time.perf_counter() - t0
 
-    rr_margin = planners2[0].robot.rr_margin
+    rr_margin = planners[0].robot.rr_margin
     collision_free = count_conflicts(paths, rr_margin) == 0
     result = {
         "metric": f"{N_AGENTS}_robot_plan_wall_clock_{PLANNER}",
