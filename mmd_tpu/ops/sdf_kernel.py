@@ -1,0 +1,142 @@
+"""Pallas TPU kernel: batched grid-SDF lookup (value + precomputed gradient).
+
+The guidance hot loop queries the HBM-resident SDF grids thousands of times
+per plan (B x H points x 25 steps x 20 guide iterations). XLA lowers the
+lookup to a gather; on TPU, scattered gathers stride HBM poorly. This kernel
+reformulates the lookup as ONE-HOT MATMULS: a block of P points builds
+row/column one-hot matrices in-register (iota == index compares) and
+contracts them against the VMEM-staged grid on the MXU:
+
+    row_sel (P, N0) @ grid (N0, N1) -> (P, N1), then a masked row-reduce
+    with the column one-hots on the VPU.
+
+Value and both gradient channels are produced in one pass, which is exactly
+the custom_vjp contract of mmd_tpu/envs/grid_sdf.py (forward value,
+backward precomputed cell gradient — reference grid_map_sdf.py:100-112).
+
+The pure-XLA gather path remains the default (`use_pallas=False`); this
+kernel is opt-in per call and covered by interpret-mode tests plus a TPU
+smoke/benchmark script (scripts/bench_kernels.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+POINT_BLOCK = 512  # points per grid step; multiple of 8 sublanes
+
+
+def _pad_grid(values: jax.Array) -> jax.Array:
+    """Pad (N0, N1) up to multiples of 128 lanes / 8 sublanes."""
+    n0, n1 = values.shape
+    p0 = (-n0) % 8
+    p1 = (-n1) % 128
+    if p0 or p1:
+        values = jnp.pad(values, ((0, p0), (0, p1)))
+    return values
+
+
+def _kernel(pts_ref, vals_ref, gx_ref, gy_ref, meta_ref,
+            out_val_ref, out_gx_ref, out_gy_ref):
+    """One grid step: POINT_BLOCK points against the full VMEM grid.
+
+    pts_ref: (P, 2) query points; vals/gx/gy: (N0p, N1p) padded grids;
+    meta_ref (SMEM): [lo0, lo1, span0, span1, n0, n1].
+    """
+    lo0, lo1 = meta_ref[0], meta_ref[1]
+    span0, span1 = meta_ref[2], meta_ref[3]
+    n0, n1 = meta_ref[4], meta_ref[5]
+
+    pts = pts_ref[:]                                     # (P, 2)
+    P = pts.shape[0]
+    n0p, n1p = vals_ref.shape
+
+    # Reference cell indexing (grid_map_sdf.py:100-104): floor((x-lo)/span*N).
+    i0 = jnp.floor((pts[:, 0] - lo0) / span0 * n0)
+    i1 = jnp.floor((pts[:, 1] - lo1) / span1 * n1)
+    i0 = jnp.clip(i0, 0.0, n0 - 1.0)
+    i1 = jnp.clip(i1, 0.0, n1 - 1.0)
+
+    # One-hot selectors built from 2D iota compares (TPU needs >=2D iota).
+    rows = jax.lax.broadcasted_iota(jnp.float32, (P, n0p), 1)
+    row_sel = (rows == i0[:, None]).astype(jnp.float32)   # (P, N0p)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (P, n1p), 1)
+    col_sel = (cols == i1[:, None]).astype(jnp.float32)   # (P, N1p)
+
+    def gather(grid_ref):
+        # MXU: (P, N0p) @ (N0p, N1p) -> (P, N1p); VPU masked row-reduce.
+        picked = jnp.dot(row_sel, grid_ref[:],
+                         preferred_element_type=jnp.float32)
+        return jnp.sum(picked * col_sel, axis=1)
+
+    out_val_ref[:] = gather(vals_ref)
+    out_gx_ref[:] = gather(gx_ref)
+    out_gy_ref[:] = gather(gy_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def grid_lookup_pallas(points: jax.Array, values: jax.Array, grads: jax.Array,
+                       lower: jax.Array, upper: jax.Array,
+                       interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """points: (..., 2) -> (sdf (...,), grad (..., 2)).
+
+    Matches the floor-cell lookup of mmd_tpu.envs.grid_sdf exactly.
+    """
+    shape = points.shape[:-1]
+    pts = points.reshape(-1, 2).astype(jnp.float32)
+    n_pts = pts.shape[0]
+    pad = (-n_pts) % POINT_BLOCK
+    if pad:
+        pts = jnp.pad(pts, ((0, pad), (0, 0)))
+    n_blocks = pts.shape[0] // POINT_BLOCK
+
+    vals_p = _pad_grid(values.astype(jnp.float32))
+    gx_p = _pad_grid(grads[..., 0].astype(jnp.float32))
+    gy_p = _pad_grid(grads[..., 1].astype(jnp.float32))
+    n0, n1 = values.shape
+    meta = jnp.array([lower[0], lower[1], upper[0] - lower[0],
+                      upper[1] - lower[1], float(n0), float(n1)], jnp.float32)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((pts.shape[0],), jnp.float32),
+        jax.ShapeDtypeStruct((pts.shape[0],), jnp.float32),
+        jax.ShapeDtypeStruct((pts.shape[0],), jnp.float32),
+    )
+    grid_spec = pl.GridSpec(
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((POINT_BLOCK, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(vals_p.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(gx_p.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(gy_p.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((POINT_BLOCK,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((POINT_BLOCK,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((POINT_BLOCK,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    val, gx, gy = pl.pallas_call(
+        _kernel,
+        out_shape=out_shapes,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(pts, vals_p, gx_p, gy_p, meta)
+
+    val = val[:n_pts].reshape(shape)
+    grad = jnp.stack([gx[:n_pts], gy[:n_pts]], axis=-1).reshape(*shape, 2)
+    return val, grad
