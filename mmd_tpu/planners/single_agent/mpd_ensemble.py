@@ -54,6 +54,19 @@ from mmd_tpu.utils.metrics import (
 )
 
 
+def _split_global_path_constraint(constraints_l, global_horizon: int):
+    """Split one large per-waypoint (ECBS-style) constraint, in GLOBAL
+    frame/time, out of the list. Returns (rest, (points, mask, radius,
+    weight) or None) with numpy arrays over the global horizon."""
+    from mmd_tpu.costs.constraints import split_soft_path_constraints
+
+    rest, spc = split_soft_path_constraints(constraints_l, global_horizon)
+    if spc is None:
+        return rest, None
+    return rest, (np.asarray(spc.points), np.asarray(spc.mask),
+                  float(spc.radius), float(spc.weight))
+
+
 def _finalize_ensemble(chain: jax.Array, gds: GuideData, transforms: jax.Array,
                        stacked_scenes, radius, q_min, q_max, savgol) -> PlanResult:
     """chain: (S+1, T, B, H, D) normalized per-tile -> global PlanResult."""
@@ -189,11 +202,25 @@ class MPDEnsemble:
 
     def _route_constraints(self, constraints_l: Optional[List[MultiPointConstraint]]):
         """Global constraints -> per-tile aggregated hard/soft constraints
-        (split_cost_constraints_to_tasks, mpd_ensemble.py:431-518)."""
+        (split_cost_constraints_to_tasks, mpd_ensemble.py:431-518).
+
+        Returns (stacked ConstraintSet, stacked SoftPathConstraints or None).
+        Large per-waypoint soft groups (ECBS) take the cheap (R, H) form,
+        routed per tile with local frames/times.
+        """
+        from mmd_tpu.costs.constraints import (
+            SoftPathConstraints,
+            split_soft_path_constraints,
+        )
+
+        H = self.n_support_points
+        # Split one big per-waypoint group across the GLOBAL horizon.
+        rest, global_spc_src = _split_global_path_constraint(
+            constraints_l or [], self.n_tiles * H)
+
         per_tile_hard = [[] for _ in range(self.n_tiles)]
         per_tile_soft = [[] for _ in range(self.n_tiles)]
-        H = self.n_support_points
-        for c in (constraints_l or []):
+        for c in rest:
             for q, (t0, t1), r in zip(c.q_l, c.t_range_l, c.radius_l):
                 tid = min(max(int(t0) // H, 0), self.n_tiles - 1)
                 entry = (np.asarray(q, np.float32)[:2] - self.transforms[tid],
@@ -219,15 +246,28 @@ class MPDEnsemble:
         for lst in per_tile_lists:
             tile_csets.append(pack_constraint_set(lst, K, P) if lst
                               else empty_constraint_set(K, P))
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *tile_csets)
+        stacked_csets = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *tile_csets)
 
-    def _guide_data(self, stacked_csets) -> GuideData:
+        stacked_spc = None
+        if global_spc_src is not None:
+            points_g, mask_g, radius, weight = global_spc_src  # (R, T*H, 2)
+            R = points_g.shape[0]
+            pts = points_g.reshape(R, self.n_tiles, H, 2).transpose(1, 0, 2, 3).copy()
+            pts -= self.transforms[:, None, None, :]
+            msk = mask_g.reshape(R, self.n_tiles, H).transpose(1, 0, 2)
+            stacked_spc = SoftPathConstraints(
+                points=jnp.asarray(pts), mask=jnp.asarray(msk),
+                radius=jnp.full((self.n_tiles,), radius),
+                weight=jnp.full((self.n_tiles,), weight))
+        return stacked_csets, stacked_spc
+
+    def _guide_data(self, stacked_csets, stacked_spc=None) -> GuideData:
         return GuideData(scene=self.task.stacked_scenes,
                          normalizer=self._stacked_normalizers,
-                         constraints=stacked_csets)
+                         constraints=stacked_csets, soft_paths=stacked_spc)
 
     def _run(self, constraints_l, experience) -> PlanResult:
-        gds = self._guide_data(self._route_constraints(constraints_l))
+        gds = self._guide_data(*self._route_constraints(constraints_l))
         args = (jnp.asarray(self.transforms), self.task.stacked_scenes,
                 self.robot.radius, self.robot.q_min, self.robot.q_max,
                 self._savgol)

@@ -76,7 +76,8 @@ def test_ensemble_constraint_routing(trained_setup):
     # x=2.0 (tile-1 local x=0).
     c = MultiPointConstraint(q_l=[np.array([2.0, 0.0])],
                              t_range_l=[(70, 90)], radius_l=[0.3])
-    stacked = ens._route_constraints([c])
+    stacked, spc = ens._route_constraints([c])
+    assert spc is None  # single ball constraint stays on the generic path
     # Tile 0 slot inactive, tile 1 active with shifted q/time.
     assert float(stacked.active[0].sum()) == 0.0
     assert float(stacked.active[1].sum()) == 1.0
