@@ -24,7 +24,7 @@ enable_persistent_cache()
 
 N_AGENTS = 10
 BASELINE_S = 2.0
-PLANNER = os.environ.get("MMD_BENCH_PLANNER", "XECBS")
+PLANNER = os.environ.get("MMD_BENCH_PLANNER", "XCBS-R")
 
 
 def build_planners(seed: int = 0):
@@ -66,10 +66,10 @@ def make_team_planner(planners, starts, goals):
     if PLANNER == "PP":
         return PrioritizedPlanning(planners, starts, goals)
     if PLANNER == "XCBS-R":
-        # Flagship: batched root + one Jacobi soft-repair round + XCBS
+        # Flagship: batched root + Jacobi soft-repair rounds + XCBS
         # local-inference expansions.
         return CBS(planners, starts, goals, is_ecbs=False, is_xcbs=True,
-                   root_repair_rounds=1)
+                   root_repair_rounds=int(os.environ.get("MMD_BENCH_REPAIR", "1")))
     flags = {"CBS": (False, False), "ECBS": (True, False),
              "XCBS": (False, True), "XECBS": (True, True)}[PLANNER]
     return CBS(planners, starts, goals, is_ecbs=flags[0], is_xcbs=flags[1])

@@ -91,7 +91,12 @@ def team_select_by_conflicts(cand_all: jax.Array, free_all: jax.Array,
     def one(cand, free, idx):
         counts = candidate_conflict_counts(cand, idx, prev_pos, margin)
         big = jnp.iinfo(jnp.int32).max
-        return jnp.argmin(jnp.where(free, counts, big)).astype(jnp.int32)
+        masked = jnp.where(free, counts, big)
+        ix = jnp.argmin(masked).astype(jnp.int32)
+        # Conflict count of the agent's CURRENT path, for accept-if-improved.
+        cur = candidate_conflict_counts(prev_pos[idx][None], idx, prev_pos,
+                                        margin)[0]
+        return ix, masked[ix], cur
 
     return jax.vmap(one, in_axes=(0, 0, 0))(cand_all, free_all, jnp.arange(A))
 

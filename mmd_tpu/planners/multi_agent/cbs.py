@@ -265,6 +265,72 @@ class CBS:
         best_path_l = global_pad_paths(state.best_paths(), self.start_time_l)
         return best_path_l, num_expansions, status, state.n_conflicts
 
+    def _expand_children_batched(self, state: SearchState, constraints,
+                                 H_all: int) -> bool:
+        """Both children of a conflict in one vmapped device call.
+
+        Requires uniform start times, XCBS (local-inference replans), MPD
+        planners sharing model/params, and matching constraint buckets.
+        Returns True when handled."""
+        from mmd_tpu.planners.single_agent.mpd import MPD
+
+        if not (self.uniform_time and self.is_xcbs and len(constraints) == 2):
+            return False
+        agent_ids = list(constraints.keys())
+        planners = [self.low_level_planner_l[a] for a in agent_ids]
+        p0 = planners[0]
+        if not all(isinstance(p, MPD) and p.params is p0.params
+                   and p.cfg == p0.cfg and p.guide_cfg == p0.guide_cfg
+                   for p in planners):
+            return False
+
+        children, gds = [], []
+        for agent_id in agent_ids:
+            constraint = constraints[agent_id].shifted(
+                -self.start_time_l[agent_id], 0, H_all - 1)
+            child = state.get_copy()
+            child.add_constraint(agent_id, constraint)
+            children.append(child)
+            planner = self.low_level_planner_l[agent_id]
+            agent_constraint_l = list(child.constraints[agent_id])
+            if self.is_ecbs:
+                agent_constraint_l.extend(
+                    self.create_soft_constraints_from_other_agents_paths(
+                        child, agent_id))
+            gds.append(planner._guide_data(*planner._pack(agent_constraint_l)))
+        shapes = [jax.tree_util.tree_map(jnp.shape, g) for g in gds]
+        if shapes[0] != shapes[1]:
+            return False  # different buckets; fall back to sequential
+
+        from mmd_tpu.models.diffusion import HardConds
+        from mmd_tpu.planners.multi_agent.fused import expand_children_local
+
+        hard_pair = HardConds(
+            mask=planners[0].hard_conds.mask,
+            values=jnp.stack([p.hard_conds.values for p in planners]))
+        gd_pair = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *gds)
+        keys = jnp.stack([p._next_key() for p in planners])
+        trajs, scalars = expand_children_local(
+            p0.model.apply, p0.params, p0.schedule, hard_pair, gd_pair, keys,
+            p0.cfg, p0.guide_cfg, p0.task.scene, p0.robot.radius,
+            p0.robot.q_min, p0.robot.q_max, p0._savgol, state.paths_all,
+            jnp.asarray(state.ix_best), jnp.asarray(agent_ids), self.margin,
+            n_noise=default_params.n_local_inference_noising_steps,
+            n_denoise=default_params.n_local_inference_denoising_steps)
+        any_free, ix, count, t, a, b, mid = jax.device_get(scalars)
+        for i, agent_id in enumerate(agent_ids):
+            if not bool(any_free[i]):
+                self._log("Failed to find valid path in CT node.")
+                continue
+            child = children[i]
+            child.paths_all = state.paths_all.at[agent_id].set(trajs[i])
+            child.ix_best[agent_id] = int(ix[i])
+            child.n_conflicts = int(count[i])
+            child.first_conflict = (self._mk_conflict(t[i], a[i], b[i], mid[i])
+                                    if count[i] else None)
+            self.open_l.append(child)
+        return True
+
     # ------------------------------------------------------------- repair
     def _repair_root(self, root: SearchState) -> SearchState:
         """One Jacobi repair round: every agent re-plans in parallel under
@@ -290,23 +356,30 @@ class CBS:
             p0.dataset.normalizer, empty_constraint_set(4, 1), soft_team, keys,
             p0.cfg, p0.guide_cfg, p0.robot.radius, p0.robot.q_min,
             p0.robot.q_max, p0._savgol)
-        ix = team_select_by_conflicts(res.trajs_final[..., :2], res.free_mask,
-                                      prev_pos, self.margin)
+        ix, new_counts, cur_counts = team_select_by_conflicts(
+            res.trajs_final[..., :2], res.free_mask, prev_pos, self.margin)
         free_any = np.asarray(jnp.any(res.free_mask, axis=-1))
         ix = np.asarray(ix)
-        # Keep the old plan for any agent whose repair found nothing free.
-        new_paths = jnp.where(jnp.asarray(free_any)[:, None, None, None],
+        # Accept a repair only when it strictly reduces that agent's conflict
+        # count vs the others' current paths — damps Jacobi oscillation.
+        accept = free_any & (np.asarray(new_counts) < np.asarray(cur_counts))
+        new_paths = jnp.where(jnp.asarray(accept)[:, None, None, None],
                               res.trajs_final, root.paths_all)
-        new_ix = [int(ix[i]) if free_any[i] else root.ix_best[i]
+        new_ix = [int(ix[i]) if accept[i] else root.ix_best[i]
                   for i in range(self.num_agents)]
         return SearchState(new_paths, new_ix)
 
     # -------------------------------------------------------------- expand
     def expand(self, state: SearchState):
-        """reference: cbs.py:390-466. Two device calls per child."""
+        """reference: cbs.py:390-466. One fused device call for both
+        children when possible, else two calls per child."""
         conflict = state.first_conflict
         constraints = convert_conflicts_to_constraints(conflict)
         H_all = state.paths_all.shape[2]
+
+        if self._expand_children_batched(state, constraints, H_all):
+            return
+
         for agent_id, constraint in constraints.items():
             constraint = constraint.shifted(-self.start_time_l[agent_id], 0,
                                             H_all - 1)

@@ -48,6 +48,47 @@ def expand_fresh(apply_fn, params, schedule, hard: HardConds, gd: GuideData,
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "guide_cfg",
                                              "n_noise", "n_denoise"))
+def expand_children_local(apply_fn, params, schedule, hard_pair: HardConds,
+                          gd_pair: GuideData, keys, cfg: DiffusionConfig,
+                          guide_cfg: GuideConfig, scene, radius, q_min, q_max,
+                          savgol, paths_all, ix_best, agent_pair, margin,
+                          n_noise: int, n_denoise: int):
+    """Both children of a CT expansion in ONE device call (vmapped).
+
+    A conflict spawns two children, each replanning a different agent under
+    its own constraints — independent programs the reference runs
+    sequentially (cbs.py:395-466). hard_pair.values: (2, H, D); gd_pair
+    leaves lead with the child axis; agent_pair: (2,) int.
+    Returns (child_trajs (2, B, H, D), per-child scalar tuple).
+    """
+
+    def one_child(hard_values, gd, key, agent_idx):
+        seed = gd.normalizer.normalize(paths_all[agent_idx])
+        key, nkey = jax.random.split(key)
+        B = seed.shape[0]
+        t = jnp.full((B,), n_noise, jnp.int32)
+        noise = jax.random.normal(nkey, seed.shape, seed.dtype)
+        warm = q_sample(schedule, seed, t, noise)
+        hard = HardConds(mask=hard_pair.mask, values=hard_values)
+        _, chain = guided_p_sample_loop(apply_fn, params, schedule, hard, key,
+                                        cfg, gd=gd, guide_cfg=guide_cfg,
+                                        n_diffusion_steps=n_denoise,
+                                        warm_start=warm)
+        res = _finalize_plan(chain, gd.normalizer, scene, radius, q_min,
+                             q_max, savgol)
+        n = paths_all.shape[0]
+        others_pos = paths_all[jnp.arange(n), ix_best][..., :2]
+        sel = select_candidate_and_conflicts(
+            res.trajs_final[..., :2], res.free_mask, agent_idx, others_pos,
+            margin)
+        return res.trajs_final, (jnp.any(res.free_mask), *sel)
+
+    return jax.vmap(one_child, in_axes=(0, 0, 0, 0))(
+        hard_pair.values, gd_pair, keys, agent_pair)
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "guide_cfg",
+                                             "n_noise", "n_denoise"))
 def expand_local(apply_fn, params, schedule, hard: HardConds, gd: GuideData,
                  key, cfg: DiffusionConfig, guide_cfg: GuideConfig,
                  scene, radius, q_min, q_max, savgol,

@@ -87,10 +87,11 @@ def test_team_select_by_conflicts():
     cands[1, 0] = 0.0          # collides with agent 0
     cands[1, 1] = 5.0          # far away
     free = np.ones((2, 2), bool)
-    ix = np.asarray(team_select_by_conflicts(jnp.asarray(cands),
-                                             jnp.asarray(free),
-                                             jnp.asarray(prev), 0.2))
-    assert ix[1] == 1
+    ix, new_counts, cur_counts = team_select_by_conflicts(
+        jnp.asarray(cands), jnp.asarray(free), jnp.asarray(prev), 0.2)
+    assert int(ix[1]) == 1
+    assert int(new_counts[1]) == 0
+    assert int(cur_counts[0]) == 0  # agents currently conflict-free
 
 
 def test_cbs_with_root_repair(trained_setup):
