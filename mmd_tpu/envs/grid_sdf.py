@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax.struct import dataclass as pytree_dataclass
 
 
@@ -80,9 +81,14 @@ def build_grid_sdf(sdf_fn, lower, upper, cell_size: float = 0.005,
     linspace(lo, hi, ceil(span/cell)); gradients via jax.grad of the analytic
     SDF (the reference uses an autograd jacobian of the same function).
     """
+    lower_np = np.asarray(lower, np.float64)
+    upper_np = np.asarray(upper, np.float64)
+    # Host-side size computation: device float32 ceil can round 2/0.005 to
+    # 401 on some backends, desyncing grid shapes across environments.
+    n = [int(np.ceil((upper_np[d] - lower_np[d]) / cell_size))
+         for d in range(lower_np.shape[0])]
     lower = jnp.asarray(lower, dtype)
     upper = jnp.asarray(upper, dtype)
-    n = [int(jnp.ceil((upper[d] - lower[d]) / cell_size)) for d in range(lower.shape[0])]
     axes = [jnp.linspace(lower[d], upper[d], n[d], dtype=dtype) for d in range(len(n))]
     mesh = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)  # (N0, N1, dim)
     pts = mesh.reshape(-1, mesh.shape[-1])
