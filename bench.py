@@ -22,7 +22,7 @@ from mmd_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
 
-N_AGENTS = 10
+N_AGENTS = int(os.environ.get("MMD_BENCH_AGENTS", "10"))
 BASELINE_S = 2.0
 PLANNER = os.environ.get("MMD_BENCH_PLANNER", "XCBS-R")
 
