@@ -70,6 +70,10 @@ def make_team_planner(planners, starts, goals):
         # local-inference expansions.
         return CBS(planners, starts, goals, is_ecbs=False, is_xcbs=True,
                    root_repair_rounds=int(os.environ.get("MMD_BENCH_REPAIR", "1")))
+    if PLANNER == "XECBS-R":
+        # Soft constraints on every replan + experience + repair rounds.
+        return CBS(planners, starts, goals, is_ecbs=True, is_xcbs=True,
+                   root_repair_rounds=int(os.environ.get("MMD_BENCH_REPAIR", "1")))
     flags = {"CBS": (False, False), "ECBS": (True, False),
              "XCBS": (False, True), "XECBS": (True, True)}[PLANNER]
     return CBS(planners, starts, goals, is_ecbs=flags[0], is_xcbs=flags[1])

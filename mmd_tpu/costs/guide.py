@@ -66,6 +66,9 @@ class GuideConfig:
     max_grad_norm: float = 1.0
     interpolate_collision: bool = False
     num_interpolated_points: int = 96      # ceil(64 * 1.5), mpd.py:263
+    # Guide only on the env's extra objects (reference
+    # use_guide_on_extra_objects_only, mmd_params.py:32, mpd.py:215-221).
+    use_extra_objects_only: bool = False
 
     @property
     def collision_margin(self) -> float:
@@ -93,9 +96,13 @@ def _collision_points(u: jax.Array, cfg: GuideConfig) -> jax.Array:
 
 
 def collision_cost_objects(u: jax.Array, scene: SceneData, cfg: GuideConfig) -> jax.Array:
-    """(B, H, D) unnormalized -> (B,). relu(margin - grid_sdf) summed over H."""
+    """(B, H, D) unnormalized -> (B,). relu(margin - sdf) summed over H."""
     q = _collision_points(u, cfg)
-    pen = jnp.maximum(cfg.collision_margin - grid_sdf(scene.grid, q), 0.0)
+    if cfg.use_extra_objects_only:
+        sd = grid_sdf(scene.extra_grid, q)
+    else:
+        sd = jnp.minimum(grid_sdf(scene.grid, q), grid_sdf(scene.extra_grid, q))
+    pen = jnp.maximum(cfg.collision_margin - sd, 0.0)
     return pen.sum(axis=-1)
 
 

@@ -28,7 +28,8 @@ from mmd_tpu.tasks.task import boundary_signed_distances
 
 def _obstacle_cost(scene: SceneData, pos: jax.Array, margin: float) -> jax.Array:
     """(..., H, 2) -> (...,) hinge obstacle+boundary cost."""
-    sd_obj = grid_sdf(scene.grid, pos)
+    from mmd_tpu.tasks.task import scene_object_sdf
+    sd_obj = scene_object_sdf(scene, pos)
     sd_b = jnp.min(boundary_signed_distances(scene, pos), axis=-1)
     sd = jnp.minimum(sd_obj, sd_b)
     return jnp.maximum(margin - sd, 0.0).sum(-1)

@@ -62,7 +62,8 @@ def _whitened_residuals(theta: jax.Array, scene: SceneData,
     r_gp = e_gp @ L                                              # whitened
 
     pos = theta[1:, :q_dim]
-    sd_obj = grid_sdf(scene.grid, pos)
+    from mmd_tpu.tasks.task import scene_object_sdf
+    sd_obj = scene_object_sdf(scene, pos)
     sd_bound = jnp.min(boundary_signed_distances(scene, pos), axis=-1)
     sd = jnp.minimum(sd_obj, sd_bound)
     r_coll = jnp.maximum(cfg.collision_margin - sd, 0.0) / cfg.sigma_coll

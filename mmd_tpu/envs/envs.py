@@ -29,9 +29,18 @@ from mmd_tpu.envs.grid_sdf import GridSDF, build_grid_sdf, grid_sdf
 
 @pytree_dataclass
 class SceneData:
-    """Fixed-shape scene pytree consumed by jitted cost/guide functions."""
+    """Fixed-shape scene pytree consumed by jitted cost/guide functions.
+
+    `extra_grid` carries the env's *extra objects* (the reference's
+    `obj_extra_list` / `use_extra_objects` mechanism, env_base.py:76-89,
+    tasks.py:60-72). Every released environment ships with EMPTY extra
+    lists (e.g. env_empty_2d_extra_objects.py:16-37), so by default it is a
+    constant-free grid; keeping it in the pytree keeps one compiled program
+    for both modes.
+    """
 
     grid: GridSDF
+    extra_grid: GridSDF
     ws_min: jax.Array  # (2,) workspace bounds for the boundary field
     ws_max: jax.Array
 
@@ -48,27 +57,35 @@ class Env2D:
     def __init__(self, boxes: Optional[np.ndarray] = None,
                  box_sizes: Optional[np.ndarray] = None,
                  sdf_cell_size: float = 0.005,
-                 grid_shape: Optional[tuple] = None):
+                 grid_shape: Optional[tuple] = None,
+                 extra_boxes: Optional[np.ndarray] = None,
+                 extra_box_sizes: Optional[np.ndarray] = None):
         self.limits = np.array([[-1.0, -1.0], [1.0, 1.0]], np.float32)
-        if boxes is None or len(boxes) == 0:
-            self.box_field = BoxField(centers=jnp.zeros((0, 2)), half_sizes=jnp.zeros((0, 2)))
-        else:
-            self.box_field = BoxField(
-                centers=jnp.asarray(boxes, jnp.float32),
-                half_sizes=jnp.asarray(box_sizes, jnp.float32) / 2.0,
-            )
+        self.box_field = self._make_box_field(boxes, box_sizes)
+        # Extra objects (reference obj_extra_list; EMPTY in every released
+        # env, the mechanism is kept for the use_extra_objects mode).
+        self.extra_box_field = self._make_box_field(extra_boxes, extra_box_sizes)
         self.sdf_cell_size = sdf_cell_size
-        self.grid = self._build_grid(grid_shape)
+        self.grid = self._build_grid(self.box_field, grid_shape)
+        self.extra_grid = self._build_grid(self.extra_box_field, grid_shape)
         self.scene = SceneData(
             grid=self.grid,
+            extra_grid=self.extra_grid,
             ws_min=jnp.asarray(self.limits[0]),
             ws_max=jnp.asarray(self.limits[1]),
         )
 
+    @staticmethod
+    def _make_box_field(boxes, sizes) -> BoxField:
+        if boxes is None or len(boxes) == 0:
+            return BoxField(centers=jnp.zeros((0, 2)), half_sizes=jnp.zeros((0, 2)))
+        return BoxField(centers=jnp.asarray(boxes, jnp.float32),
+                        half_sizes=jnp.asarray(sizes, jnp.float32) / 2.0)
+
     # ----------------------------------------------------------------- grid
-    def _build_grid(self, grid_shape) -> GridSDF:
+    def _build_grid(self, field: BoxField, grid_shape=None) -> GridSDF:
         lo, hi = self.limits[0], self.limits[1]
-        if self.box_field.centers.shape[0] == 0:
+        if field.centers.shape[0] == 0:
             # Empty map: constant-BIG grid, zero gradient. Same shape as the
             # obstacle grids so one compiled sampler serves all envs.
             n = grid_shape or tuple(int(np.ceil((hi[d] - lo[d]) / self.sdf_cell_size)) for d in range(2))
@@ -77,7 +94,7 @@ class Env2D:
                 values=jnp.full(n, BIG, jnp.float32),
                 grads=jnp.zeros((*n, 2), jnp.float32),
             )
-        return build_grid_sdf(lambda p: union_sdf([self.box_field], p), lo, hi,
+        return build_grid_sdf(lambda p: union_sdf([field], p), lo, hi,
                               self.sdf_cell_size)
 
     # ------------------------------------------------------------------ sdf

@@ -89,6 +89,42 @@ class ResidualTemporalBlock(nn.Module):
         return h + res
 
 
+class LinearAttention(nn.Module):
+    """Linear self-attention over the time axis (layers.py:210-229) —
+    optional (`self_attention=True`); the MMD pipeline ships with it off."""
+
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, C)
+        B, H, C = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(hidden * 3, (1,), use_bias=False)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, H, self.heads, self.dim_head).transpose(0, 2, 3, 1)
+
+        q, k, v = heads(q), heads(k), heads(v)       # (B, h, d, H)
+        q = jax.nn.softmax(q, axis=-2)
+        k = jax.nn.softmax(k, axis=-1)
+        ctx = jnp.einsum("bhdn,bhen->bhde", k, v)     # (B, h, d, d)
+        out = jnp.einsum("bhde,bhdn->bhen", ctx, q)   # (B, h, d, H)
+        out = out.transpose(0, 3, 1, 2).reshape(B, H, hidden)
+        return nn.Conv(C, (1,))(out)
+
+
+class PreNormResidual(nn.Module):
+    """Residual(PreNorm(fn)) wrapper (layers.py:177-195)."""
+
+    fn: nn.Module
+
+    @nn.compact
+    def __call__(self, x):
+        return x + self.fn(nn.LayerNorm()(x))
+
+
 class Downsample1d(nn.Module):
     """Stride-2 conv (layers.py:261-267)."""
 
@@ -116,6 +152,7 @@ class TemporalUnet(nn.Module):
     unet_input_dim: int = 32
     dim_mults: Tuple[int, ...] = (1, 2, 4)
     time_emb_dim: int = 32
+    self_attention: bool = False  # temporal_unet.py:82-92 optional attention
 
     @nn.compact
     def __call__(self, x, time):
@@ -130,18 +167,24 @@ class TemporalUnet(nn.Module):
             is_last = ind >= n_res - 1
             x = ResidualTemporalBlock(dim_out)(x, c)
             x = ResidualTemporalBlock(dim_out)(x, c)
+            if self.self_attention:
+                x = PreNormResidual(LinearAttention())(x)
             h_stack.append(x)
             if not is_last:
                 x = Downsample1d(dim_out)(x)
 
         mid_dim = dims[-1]
         x = ResidualTemporalBlock(mid_dim)(x, c)
+        if self.self_attention:
+            x = PreNormResidual(LinearAttention())(x)
         x = ResidualTemporalBlock(mid_dim)(x, c)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out[1:])):
             x = jnp.concatenate([x, h_stack.pop()], axis=-1)
             x = ResidualTemporalBlock(dim_in)(x, c)
             x = ResidualTemporalBlock(dim_in)(x, c)
+            if self.self_attention:
+                x = PreNormResidual(LinearAttention())(x)
             x = Upsample1d(dim_in)(x)
 
         x = Conv1dBlock(self.unet_input_dim)(x)

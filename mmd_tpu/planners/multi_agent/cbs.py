@@ -199,8 +199,10 @@ class CBS:
 
         # ---- root creation --------------------------------------------
         path_tiles: List[jax.Array] = []
-        if not self.is_ecbs:
+        if not self.is_ecbs or self.root_repair_rounds > 0:
             # CBS/XCBS roots are independent -> one vmapped device call.
+            # With repair rounds, the batched Jacobi soft re-plan substitutes
+            # for ECBS's sequential soft-constrained root.
             from mmd_tpu.parallel.team import plan_team_roots_device
             team = plan_team_roots_device(self.low_level_planner_l)
         else:

@@ -44,9 +44,15 @@ def boundary_signed_distances(scene: SceneData, q: jax.Array) -> jax.Array:
     return jnp.concatenate([q - lo, hi - q], axis=-1)
 
 
+def scene_object_sdf(scene: SceneData, q: jax.Array) -> jax.Array:
+    """Min over the fixed grid and the extra-objects grid (the reference's
+    get_df_obj_list aggregation, env_base.py:76-89)."""
+    return jnp.minimum(grid_sdf(scene.grid, q), grid_sdf(scene.extra_grid, q))
+
+
 def waypoint_in_collision(scene: SceneData, q: jax.Array, margin: float) -> jax.Array:
     """q: (..., 2) -> (...,) bool. Occupancy-style check at one margin."""
-    obj_coll = grid_sdf(scene.grid, q) < margin
+    obj_coll = scene_object_sdf(scene, q) < margin
     bound_coll = jnp.any(boundary_signed_distances(scene, q) < margin, axis=-1)
     return obj_coll | bound_coll
 
@@ -81,7 +87,7 @@ def compute_collision_cost_sdf(scene: SceneData, q: jax.Array, margin: jax.Array
     task-level cost query (tasks.py:230-234); guidance keeps them separate
     (see mmd_tpu/costs/guide.py).
     """
-    obj = jnp.maximum(margin - grid_sdf(scene.grid, q), 0.0)
+    obj = jnp.maximum(margin - scene_object_sdf(scene, q), 0.0)
     bound = jnp.max(jnp.maximum(margin - boundary_signed_distances(scene, q), 0.0), axis=-1)
     return obj + bound
 
