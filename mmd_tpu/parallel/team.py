@@ -153,36 +153,3 @@ def plan_team_roots_device(planners: List):
                           p0.robot.radius, p0.robot.q_min, p0.robot.q_max,
                           p0._savgol)
     return res.trajs_final, jnp.any(res.free_mask, axis=-1), res.idx_best
-
-
-def plan_team_roots(planners: List) -> Optional[List]:
-    """Batched CBS/XCBS root creation over a list of MPD planners.
-
-    All planners must share the same model params, schedule, configs, and
-    task (the single-tile case). Returns a list of PlannerOutput, or None if
-    the planners are not batchable (caller falls back to sequential).
-    """
-    import time
-
-    p0 = planners[0]
-    for p in planners[1:]:
-        if (p.params is not p0.params or p.schedule is not p0.schedule
-                or p.cfg != p0.cfg or p.guide_cfg != p0.guide_cfg
-                or p.task is not p0.task):
-            return None
-
-    t0 = time.perf_counter()
-    hard_team = stack_hard_conds([p.hard_conds for p in planners])
-    keys = jnp.stack([p._next_key() for p in planners])
-    gd = p0._guide_data(*p0._pack(None))
-    res = plan_fresh_team(p0.model.apply, p0.params, p0.schedule, hard_team,
-                          gd, keys, p0.cfg, p0.guide_cfg, p0.task.scene,
-                          p0.robot.radius, p0.robot.q_min, p0.robot.q_max,
-                          p0._savgol)
-    jax.block_until_ready(res.trajs_final)
-    t_total = time.perf_counter() - t0
-    outs = []
-    for i, p in enumerate(planners):
-        agent_res = jax.tree_util.tree_map(lambda x: x[i], res)
-        outs.append(p._to_output(agent_res, None, t_total / len(planners)))
-    return outs
