@@ -135,7 +135,8 @@ def train(dataset: TrajectoryDataset,
           val_fraction: float = 0.05,
           validate_every: Optional[int] = None,
           early_stop_patience: Optional[int] = None,
-          summary_every: Optional[int] = None):
+          summary_every: Optional[int] = None,
+          resume: bool = False):
     """Train a TemporalUnet diffusion model on `dataset`.
 
     Mirrors the reference recipe (trainer.py:119-335): Adam + clip + EMA,
@@ -152,6 +153,10 @@ def train(dataset: TrajectoryDataset,
     schedule = make_schedule(cfg.variance_schedule, cfg.n_diffusion_steps)
     optimizer = make_optimizer(cfg)
     state = init_train_state(params, optimizer)
+    if resume and model_dir and os.path.exists(
+            os.path.join(model_dir, "train_state.msgpack")):
+        state = load_train_state(model_dir, state)
+        (log_fn or print)(f"resumed from step {int(state.step)}")
     step_fn = make_train_step(model.apply, schedule, optimizer, cfg)
 
     # 95/5 train/validation split (train_loaders.py:59-82).
@@ -199,6 +204,7 @@ def train(dataset: TrajectoryDataset,
 
     if model_dir:
         save_checkpoint(model_dir, model, state, dataset, cfg)
+        save_train_state(model_dir, state)
         # Loss-history dumps (trainer.py:43 save_losses_to_disk).
         np.save(os.path.join(model_dir, "train_losses.npy"), np.asarray(losses))
         if val_losses:
@@ -207,6 +213,24 @@ def train(dataset: TrajectoryDataset,
 
 
 # ------------------------------------------------------------- checkpoints
+def save_train_state(model_dir: str, state: TrainState,
+                     name: str = "train_state.msgpack"):
+    """Full mid-run resume state (params + EMA + optimizer + step).
+
+    The reference cannot resume mid-run (no optimizer-state save,
+    SURVEY.md section 5); this adds it.
+    """
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, name), "wb") as f:
+        f.write(serialization.to_bytes(state))
+
+
+def load_train_state(model_dir: str, template: TrainState,
+                     name: str = "train_state.msgpack") -> TrainState:
+    with open(os.path.join(model_dir, name), "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
 def save_checkpoint(model_dir: str, model: TemporalUnet, state: TrainState,
                     dataset: TrajectoryDataset, cfg: TrainConfig,
                     suffix: str = ""):
