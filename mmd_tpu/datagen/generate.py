@@ -53,21 +53,40 @@ def generate_context_trajectories(env_name: str, rng: np.random.Generator,
 
     skills = env.get_skill_pos_seq_l(start_pos=start, goal_pos=goal, rng=rng)
 
-    seed = int(rng.integers(0, 2**31 - 1))
+    # Prefer the native C++ planners (native/rrt.cpp) — the host-side
+    # data-gen hot loop; fall back to pure Python when g++ is unavailable.
+    from mmd_tpu.datagen.native_rrt import (
+        NativeRRTConnect, NativeRRTStar, native_available,
+    )
+
+    use_native = native_available()
+    rrt_params = {k: v for k, v in RRT_PARAMS.items()
+                  if not (use_native and k == "max_time")}
+
+    def connect(a, b):
+        if use_native:
+            return NativeRRTConnect(checker, a, b, seed=int(rng.integers(2**31)),
+                                    **rrt_params)
+        return RRTConnect(checker, a, b,
+                          rng=np.random.default_rng(rng.integers(2**31)),
+                          **rrt_params)
+
+    def star(a, b):
+        if use_native:
+            return NativeRRTStar(checker, a, b, seed=int(rng.integers(2**31)),
+                                 **rrt_params)
+        return RRTStar(checker, a, b,
+                       rng=np.random.default_rng(rng.integers(2**31)),
+                       **rrt_params)
+
     if not skills:
-        factories = [lambda: RRTConnect(checker, start, goal,
-                                        rng=np.random.default_rng(rng.integers(2**31)),
-                                        **RRT_PARAMS)]
+        factories = [lambda: connect(start, goal)]
     else:
         skill = skills[int(rng.integers(0, len(skills)))]
         factories = [
-            lambda: RRTStar(checker, start, skill[0],
-                            rng=np.random.default_rng(rng.integers(2**31)),
-                            **RRT_PARAMS),
+            lambda: star(start, skill[0]),
             lambda: IdentityPlanner(skill),
-            lambda: RRTStar(checker, skill[-1], goal,
-                            rng=np.random.default_rng(rng.integers(2**31)),
-                            **RRT_PARAMS),
+            lambda: star(skill[-1], goal),
         ]
 
     cfg = GPMP2Config(n_support_points=horizon, dt=duration / horizon,
