@@ -96,7 +96,8 @@ class CBS:
                  is_xcbs: bool = False, is_ecbs: bool = True,
                  reference_robot=None, reference_task=None,
                  validate_start_goal: bool = True, verbose: bool = False,
-                 root_repair_rounds: int = 0):
+                 root_repair_rounds: int = 0,
+                 choose_path_strategy: Optional[str] = None):
         self.low_level_planner_l = low_level_planner_l
         self.is_xcbs = is_xcbs
         self.is_ecbs = is_ecbs
@@ -114,6 +115,10 @@ class CBS:
         # soft constraints from the others' current paths (the parallel
         # analog of ECBS's sequential soft-constrained root, cbs.py:316-335).
         self.root_repair_rounds = root_repair_rounds
+        # 'least_collisions' (default) or 'least_cost'
+        # (reference: mmd_params.py:53, cbs.py:436-462).
+        self.choose_path_strategy = (choose_path_strategy or
+                                     default_params.low_level_choose_path_from_batch_strategy)
         self.open_l: List[SearchState] = []
         if validate_start_goal and not is_multi_agent_start_goal_states_valid(
                 self.reference_robot, self.reference_task,
@@ -276,7 +281,8 @@ class CBS:
         Returns True when handled."""
         from mmd_tpu.planners.single_agent.mpd import MPD
 
-        if not (self.uniform_time and self.is_xcbs and len(constraints) == 2):
+        if not (self.uniform_time and self.is_xcbs and len(constraints) == 2
+                and self.choose_path_strategy == "least_collisions"):
             return False
         agent_ids = list(constraints.keys())
         planners = [self.low_level_planner_l[a] for a in agent_ids]
@@ -395,7 +401,8 @@ class CBS:
             planner = self.low_level_planner_l[agent_id]
 
             from mmd_tpu.planners.single_agent.mpd import MPD
-            if self.uniform_time and isinstance(planner, MPD):
+            if (self.uniform_time and isinstance(planner, MPD)
+                    and self.choose_path_strategy == "least_collisions"):
                 # Fully-fused expansion: plan + select + conflict summary +
                 # team update in ONE device call (fused.py).
                 from mmd_tpu.planners.multi_agent.fused import (
@@ -437,13 +444,26 @@ class CBS:
             cand_pos = jnp.asarray(self._pad_pos(
                 np.asarray(res.trajs_final[..., :2]), agent_id, max_t))
 
-            ix, count, t, a, b, mid, any_free = jax.device_get(  # device call 2
-                (*select_candidate_and_conflicts(
-                    cand_pos, res.free_mask, agent_id, others_pos, self.margin),
-                 jnp.any(res.free_mask)))
-            if not bool(any_free):
-                self._log("Failed to find valid path in CT node.")
-                continue  # skip this child (cbs.py:433-435)
+            if self.choose_path_strategy == "least_cost":
+                # Reference alternative (cbs.py:436-441): keep the planner's
+                # least-cost best, then summarize conflicts for that choice.
+                ix, any_free = jax.device_get((res.idx_best,
+                                               jnp.any(res.free_mask)))
+                if not bool(any_free):
+                    self._log("Failed to find valid path in CT node.")
+                    continue
+                chosen = others_pos.at[agent_id].set(cand_pos[int(ix)])
+                count, t, a, b, mid = jax.device_get(
+                    team_conflict_summary(chosen, self.margin))
+            else:
+                ix, count, t, a, b, mid, any_free = jax.device_get(  # call 2
+                    (*select_candidate_and_conflicts(
+                        cand_pos, res.free_mask, agent_id, others_pos,
+                        self.margin),
+                     jnp.any(res.free_mask)))
+                if not bool(any_free):
+                    self._log("Failed to find valid path in CT node.")
+                    continue  # skip this child (cbs.py:433-435)
 
             new_state.paths_all = new_state.paths_all.at[agent_id].set(res.trajs_final)
             new_state.ix_best[agent_id] = int(ix)

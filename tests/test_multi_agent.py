@@ -127,3 +127,12 @@ def test_xecbs_runs(trained_setup):
                       TrialSuccessStatus.FAIL_RUNTIME_LIMIT,
                       TrialSuccessStatus.FAIL_COLLISION_AGENTS,
                       TrialSuccessStatus.FAIL_NO_SOLUTION)
+
+
+def test_cbs_least_cost_strategy(trained_setup):
+    starts, goals = get_start_goal_pos_circle(3)
+    planners = _planners(trained_setup, starts, goals)
+    cbs = CBS(planners, starts, goals, is_ecbs=False, is_xcbs=False,
+              choose_path_strategy="least_cost")
+    paths, n_exp, status, n_coll = cbs.plan(runtime_limit=120)
+    assert len(paths) == 3
