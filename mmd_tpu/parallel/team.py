@@ -135,21 +135,23 @@ def _batchable(planners: List) -> bool:
     return True
 
 
-def plan_team_roots_device(planners: List):
+def plan_team_roots_device(planners: List, keys: Optional[jax.Array] = None):
     """Batched CBS/XCBS root creation, device-resident results.
 
     Returns (trajs_final (n, B, H, D), free_any (n,) bool, idx_best (n,))
     or None when the planners are not batchable (mixed models/tasks) —
-    the caller falls back to the sequential path.
+    the caller falls back to the sequential path. Pass `keys` (n, 2) to
+    source all randomness from one split (one dispatch instead of n).
     """
     if not _batchable(planners):
         return None
     p0 = planners[0]
     hard_team = stack_hard_conds([p.hard_conds for p in planners])
-    keys = jnp.stack([p._next_key() for p in planners])
+    if keys is None:
+        keys = jnp.stack([p._next_key() for p in planners])
     gd = p0._guide_data(*p0._pack(None))
     res = plan_fresh_team(p0.model.apply, p0.params, p0.schedule, hard_team,
                           gd, keys, p0.cfg, p0.guide_cfg, p0.task.scene,
                           p0.robot.radius, p0.robot.q_min, p0.robot.q_max,
                           p0._savgol)
-    return res.trajs_final, jnp.any(res.free_mask, axis=-1), res.idx_best
+    return res.trajs_final, jnp.any(res.free_mask, axis=-1), res.idx_best, res.free_mask

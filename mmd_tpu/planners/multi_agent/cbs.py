@@ -64,6 +64,7 @@ class SearchState:
         self.ix_best = ix_best
         self.constraints = constraints or {}
         self.n_conflicts: int = 0
+        self.summarized: bool = False
         self.first_conflict: Optional[PointConflict] = None
         self.g = float("inf")
 
@@ -119,7 +120,18 @@ class CBS:
         # (reference: mmd_params.py:53, cbs.py:436-462).
         self.choose_path_strategy = (choose_path_strategy or
                                      default_params.low_level_choose_path_from_batch_strategy)
+        # Team-level PRNG stream: ONE split serves a whole batched call
+        # instead of one device dispatch per planner. Seeded from the first
+        # planner's stream so consecutive searches draw fresh randomness.
+        p0 = low_level_planner_l[0]
+        self._key = (p0._next_key() if hasattr(p0, "_next_key")
+                     else jax.random.PRNGKey(default_params.seed))
         self.open_l: List[SearchState] = []
+
+    def _team_keys(self, n: int) -> jax.Array:
+        keys = jax.random.split(self._key, n + 1)
+        self._key = keys[0]
+        return keys[1:]
         if validate_start_goal and not is_multi_agent_start_goal_states_valid(
                 self.reference_robot, self.reference_task,
                 self.start_state_pos_l, self.goal_state_pos_l):
@@ -209,18 +221,26 @@ class CBS:
             # With repair rounds, the batched Jacobi soft re-plan substitutes
             # for ECBS's sequential soft-constrained root.
             from mmd_tpu.parallel.team import plan_team_roots_device
-            team = plan_team_roots_device(self.low_level_planner_l)
+            team = plan_team_roots_device(self.low_level_planner_l,
+                                          keys=self._team_keys(self.num_agents))
         else:
             team = None
 
         if team is not None:
-            trajs_all, free_any, idx_best = team
+            trajs_all, free_any, idx_best, free_mask_all = team
             if not bool(free_any.all()):
                 status = TrialSuccessStatus.FAIL_NO_SOLUTION
             else:
                 root = SearchState(trajs_all, [int(i) for i in idx_best])
+                if self.root_repair_rounds > 0:
+                    # Free coordination pass: re-select each agent's path
+                    # among its ALREADY-SAMPLED 64 candidates to minimize
+                    # team conflicts (no re-planning) before re-sampling.
+                    root = self._reselect_root(root, free_mask_all)
                 for _ in range(self.root_repair_rounds):
-                    root = self._repair_root(root)
+                    root, free_mask_all = self._repair_root(root, free_mask_all)
+                if self.root_repair_rounds > 0:
+                    root = self._reselect_root(root, free_mask_all)
         else:
             for i in range(self.num_agents):
                 partial = SearchState(
@@ -246,7 +266,8 @@ class CBS:
 
         num_expansions = 0
         if status == TrialSuccessStatus.UNKNOWN:
-            self._summarize(root)
+            if not root.summarized:
+                self._summarize(root)
             self.open_l.append(root)
             state = root
 
@@ -317,7 +338,7 @@ class CBS:
             mask=planners[0].hard_conds.mask,
             values=jnp.stack([p.hard_conds.values for p in planners]))
         gd_pair = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *gds)
-        keys = jnp.stack([p._next_key() for p in planners])
+        keys = self._team_keys(2)
         trajs, scalars = expand_children_local(
             p0.model.apply, p0.params, p0.schedule, hard_pair, gd_pair, keys,
             p0.cfg, p0.guide_cfg, p0.task.scene, p0.robot.radius,
@@ -340,10 +361,33 @@ class CBS:
         return True
 
     # ------------------------------------------------------------- repair
-    def _repair_root(self, root: SearchState) -> SearchState:
+    def _reselect_root(self, root: SearchState, free_all: jax.Array,
+                       sweeps: int = 2) -> SearchState:
+        """Jacobi re-selection among existing candidate batches: each agent
+        picks its least-conflicts FREE candidate vs the others' current best;
+        accepted per sweep only when the team's total conflict count strictly
+        decreases. ONE device call (conflict_detection.team_reselect)."""
+        from mmd_tpu.planners.multi_agent.conflict_detection import team_reselect
+
+        ix, count, t, a, b, mid = jax.device_get(team_reselect(
+            root.paths_all[..., :2], jnp.asarray(root.ix_best), free_all,
+            self.margin, sweeps=sweeps))
+        state = SearchState(root.paths_all, [int(i) for i in ix],
+                            root.constraints)
+        state.n_conflicts = int(count)
+        state.first_conflict = (self._mk_conflict(t, a, b, mid)
+                                if count else None)
+        state.summarized = True
+        return state
+
+    def _repair_root(self, root: SearchState,
+                     free_all: Optional[jax.Array] = None):
         """One Jacobi repair round: every agent re-plans in parallel under
         soft constraints from the others' current best paths, then selects
-        its least-conflicts free candidate vs those paths."""
+        its least-conflicts free candidate vs those paths.
+
+        Returns (state, free_all) with free masks tracking whichever batch
+        (old or repaired) each agent's row ended up holding."""
         from mmd_tpu.costs.constraints import empty_constraint_set
         from mmd_tpu.parallel.team import (
             plan_fresh_team_soft,
@@ -358,24 +402,33 @@ class CBS:
         soft_team = team_soft_paths(np.asarray(prev_pos),
                                     default_params.vertex_constraint_radius)
         hard_team = stack_hard_conds([p.hard_conds for p in planners])
-        keys = jnp.stack([p._next_key() for p in planners])
+        keys = self._team_keys(self.num_agents)
         res = plan_fresh_team_soft(
             p0.model.apply, p0.params, p0.schedule, hard_team, p0.task.scene,
             p0.dataset.normalizer, empty_constraint_set(4, 1), soft_team, keys,
             p0.cfg, p0.guide_cfg, p0.robot.radius, p0.robot.q_min,
             p0.robot.q_max, p0._savgol)
-        ix, new_counts, cur_counts = team_select_by_conflicts(
-            res.trajs_final[..., :2], res.free_mask, prev_pos, self.margin)
-        free_any = np.asarray(jnp.any(res.free_mask, axis=-1))
-        ix = np.asarray(ix)
-        # Accept a repair only when it strictly reduces that agent's conflict
-        # count vs the others' current paths — damps Jacobi oscillation.
-        accept = free_any & (np.asarray(new_counts) < np.asarray(cur_counts))
+        # Fused: per-agent selection + accept-if-improved damping + global
+        # monotonicity + conflict summary, one device call
+        # (conflict_detection.repair_accept).
+        from mmd_tpu.planners.multi_agent.conflict_detection import repair_accept
+
+        accept, ix, count, t, a, b, mid = jax.device_get(repair_accept(
+            res.trajs_final[..., :2], res.free_mask, prev_pos, self.margin))
+        if free_all is None:
+            free_all = jnp.ones(root.paths_all.shape[:2], bool)
         new_paths = jnp.where(jnp.asarray(accept)[:, None, None, None],
                               res.trajs_final, root.paths_all)
         new_ix = [int(ix[i]) if accept[i] else root.ix_best[i]
                   for i in range(self.num_agents)]
-        return SearchState(new_paths, new_ix)
+        state = SearchState(new_paths, new_ix, root.constraints)
+        state.n_conflicts = int(count)
+        state.first_conflict = (self._mk_conflict(t, a, b, mid)
+                                if count else None)
+        state.summarized = True
+        new_free = jnp.where(jnp.asarray(accept)[:, None], res.free_mask,
+                             free_all)
+        return state, new_free
 
     # -------------------------------------------------------------- expand
     def expand(self, state: SearchState):

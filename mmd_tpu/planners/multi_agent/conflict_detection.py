@@ -99,6 +99,91 @@ def select_candidate_and_conflicts(cand_pos: jax.Array, free_mask: jax.Array,
     return ix, count, t, a, b, midpoint
 
 
+@functools.partial(jax.jit, static_argnames=("sweeps",))
+def team_reselect(paths_pos_all: jax.Array, ix0: jax.Array, free_all: jax.Array,
+                  margin: float, sweeps: int = 2):
+    """In-graph Jacobi re-selection among candidate batches.
+
+    paths_pos_all: (A, B, T, 2) every agent's candidate positions;
+    ix0: (A,) current best indices; free_all: (A, B). Runs `sweeps`
+    rounds where each agent picks its least-conflicts free candidate vs the
+    others' current picks, accepting a round only if the team's total
+    conflict count strictly decreases. Returns
+    (ix (A,), count, t, a, b, midpoint) — ONE device call for the whole
+    coordination pass.
+    """
+    A = paths_pos_all.shape[0]
+    big = jnp.iinfo(jnp.int32).max
+
+    def set_count(ix):
+        chosen = paths_pos_all[jnp.arange(A), ix]
+        coll, _ = team_collision_tensor(chosen, margin)
+        return jnp.sum(coll).astype(jnp.int32)
+
+    def sweep(carry, _):
+        ix, count = carry
+        prev = paths_pos_all[jnp.arange(A), ix]
+
+        def one(cand, free, idx):
+            counts = candidate_conflict_counts(cand, idx, prev, margin)
+            return jnp.argmin(jnp.where(free, counts, big)).astype(jnp.int32)
+
+        new_ix = jax.vmap(one, in_axes=(0, 0, 0))(
+            paths_pos_all, free_all, jnp.arange(A))
+        new_count = set_count(new_ix)
+        better = new_count < count
+        ix = jnp.where(better, new_ix, ix)
+        count = jnp.where(better, new_count, count)
+        return (ix, count), None
+
+    (ix, count), _ = jax.lax.scan(sweep, (ix0, set_count(ix0)), None,
+                                  length=sweeps)
+    chosen = paths_pos_all[jnp.arange(A), ix]
+    count, t, a, b, mid = team_conflict_summary(chosen, margin)
+    return ix, count, t, a, b, mid
+
+
+@jax.jit
+def repair_accept(cand_pos_all: jax.Array, free_all: jax.Array,
+                  prev_pos: jax.Array, margin: float):
+    """Fused post-processing of a Jacobi repair round.
+
+    cand_pos_all: (A, B, T, 2) repaired candidate positions; free_all (A, B);
+    prev_pos (A, T, 2) current best set. Per agent: select the
+    least-conflicts free candidate, accept only if it strictly improves on
+    the agent's current path AND the agent has a free candidate; then keep
+    the repaired SET only if its total conflicts do not increase. Returns
+    (accept (A,) bool, ix (A,), count, t, a, b, mid) for the resulting set.
+    """
+    A = cand_pos_all.shape[0]
+    big = jnp.iinfo(jnp.int32).max
+
+    def one(cand, free, idx):
+        counts = candidate_conflict_counts(cand, idx, prev_pos, margin)
+        masked = jnp.where(free, counts, big)
+        ix = jnp.argmin(masked).astype(jnp.int32)
+        cur = candidate_conflict_counts(prev_pos[idx][None], idx, prev_pos,
+                                        margin)[0]
+        return ix, masked[ix], cur
+
+    ix, new_counts, cur_counts = jax.vmap(one, in_axes=(0, 0, 0))(
+        cand_pos_all, free_all, jnp.arange(A))
+    accept = jnp.any(free_all, axis=-1) & (new_counts < cur_counts)
+
+    new_set = jnp.where(accept[:, None, None],
+                        cand_pos_all[jnp.arange(A), ix], prev_pos)
+    new_count, t, a, b, mid = team_conflict_summary(new_set, margin)
+    old_count, ot, oa, ob, omid = team_conflict_summary(prev_pos, margin)
+    keep = new_count <= old_count
+    accept = accept & keep
+    count = jnp.where(keep, new_count, old_count)
+    t = jnp.where(keep, t, ot)
+    a = jnp.where(keep, a, oa)
+    b = jnp.where(keep, b, ob)
+    mid = jnp.where(keep, mid, omid)
+    return accept, ix, count, t, a, b, mid
+
+
 def find_conflicts(paths_l: List[np.ndarray], margin: float,
                    max_conflicts: Optional[int] = None) -> List[PointConflict]:
     """Build PointConflict records from padded best paths.
