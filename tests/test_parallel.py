@@ -53,10 +53,11 @@ def test_plan_team_roots_device(trained_setup):
     planners, starts, goals = _planners(trained_setup)
     out = plan_team_roots_device(planners)
     assert out is not None
-    trajs_all, free_any, idx_best = out
+    trajs_all, free_any, idx_best, free_mask = out
     assert trajs_all.shape == (4, 8, 64, 4)
     assert free_any.shape == (4,)
     assert idx_best.shape == (4,)
+    assert free_mask.shape == (4, 8)
 
 
 def test_team_roots_not_batchable_mixed_params(trained_setup):
