@@ -24,7 +24,11 @@ enable_persistent_cache()
 
 N_AGENTS = int(os.environ.get("MMD_BENCH_AGENTS", "10"))
 BASELINE_S = 2.0
-PLANNER = os.environ.get("MMD_BENCH_PLANNER", "XCBS-R")
+# Flagship: XECBS with reference semantics (ECBS soft constraints +
+# XCBS experience reuse), running on the fused device programs — one
+# lax.scan call for the sequential soft-constrained root and one
+# speculative greedy-descent call per expansion round (fused.greedy_expand).
+PLANNER = os.environ.get("MMD_BENCH_PLANNER", "XECBS")
 
 
 def build_planners(seed: int = 0):

@@ -57,6 +57,21 @@ class VertexConstraint:
     q: np.ndarray
     t: int
 
+    def shifted(self, dt: int, t_min: int, t_max: int) -> "VertexConstraint":
+        return VertexConstraint(q=self.q,
+                                t=int(np.clip(self.t + dt, t_min, t_max)))
+
+    def as_multipoint(self, radius: float = None,
+                      t_pad: int = 2) -> MultiPointConstraint:
+        """Plannable keep-out-ball form. The reference defines vertex
+        constraints but its diffusion planner only consumes
+        MultiPointConstraints (mpd.py:329-342); this conversion makes them
+        usable end-to-end (TPU-framework extension)."""
+        radius = radius if radius is not None else default_params.vertex_constraint_radius
+        return MultiPointConstraint(q_l=[np.asarray(self.q, np.float32)],
+                                    t_range_l=[(self.t - t_pad, self.t + t_pad)],
+                                    radius_l=[radius])
+
 
 @dataclasses.dataclass
 class EdgeConstraint:
@@ -67,3 +82,21 @@ class EdgeConstraint:
     q_to: np.ndarray
     t_from: int
     t_to: int
+
+    def shifted(self, dt: int, t_min: int, t_max: int) -> "EdgeConstraint":
+        return EdgeConstraint(q_from=self.q_from, q_to=self.q_to,
+                              t_from=int(np.clip(self.t_from + dt, t_min, t_max)),
+                              t_to=int(np.clip(self.t_to + dt, t_min, t_max)))
+
+    def as_multipoint(self, radius: float = None) -> MultiPointConstraint:
+        """Plannable form: keep-out balls at both endpoints plus the edge
+        midpoint over [t_from, t_to+1), covering the swept segment (see
+        VertexConstraint.as_multipoint on why this conversion exists)."""
+        radius = radius if radius is not None else default_params.vertex_constraint_radius
+        q_from = np.asarray(self.q_from, np.float32)
+        q_to = np.asarray(self.q_to, np.float32)
+        mid = 0.5 * (q_from + q_to)
+        span = (self.t_from, self.t_to + 1)
+        return MultiPointConstraint(q_l=[q_from, q_to, mid],
+                                    t_range_l=[span, span, span],
+                                    radius_l=[radius] * 3)

@@ -78,6 +78,15 @@ class GaussianNormalizer:
         return x * self.stds + self.means
 
 
+def fixed_limits_normalizer(state_dim: int, low: float = -1.0,
+                            high: float = 1.0) -> LimitsNormalizer:
+    """FixedLimitsNormalizer: constant [-1, 1] limits on every dimension,
+    independent of the data (reference: mmd/datasets/normalization.py:188-196).
+    """
+    return LimitsNormalizer(mins=jnp.full((state_dim,), low, jnp.float32),
+                            maxs=jnp.full((state_dim,), high, jnp.float32))
+
+
 def safe_limits_from_data(x: jax.Array, margin_ratio: float = 0.0) -> LimitsNormalizer:
     """SafeLimitsNormalizer: widen degenerate (min==max) dims by eps.
 

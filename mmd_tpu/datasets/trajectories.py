@@ -51,13 +51,17 @@ class TrajectoryDataset:
         self.trajs_normalized = self.normalizer.normalize(self.trajs)
 
     # ------------------------------------------------------------- batches
-    def sample_batch(self, key: jax.Array, batch_size: int) -> Tuple[jax.Array, HardConds]:
+    def sample_batch(self, key: jax.Array, batch_size: int,
+                     start_idx: int = 0) -> Tuple[jax.Array, HardConds]:
         """Random batch of normalized trajs + per-sample hard conditions.
 
         Training hard conds pin each trajectory's own (normalized) start and
         goal states (reference: trajectories.py:153-168, 216-239).
+        `start_idx` excludes a held-out validation prefix from the sampling
+        range (the reference uses a real 95/5 random_split,
+        train_loaders.py:59-82).
         """
-        idx = jax.random.randint(key, (batch_size,), 0, self.n_trajs)
+        idx = jax.random.randint(key, (batch_size,), start_idx, self.n_trajs)
         batch = self.trajs_normalized[idx]
         H = self.n_support_points
         mask = jnp.zeros((H, 1)).at[0].set(1.0).at[H - 1].set(1.0)

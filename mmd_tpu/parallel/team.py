@@ -45,6 +45,56 @@ def plan_fresh_team(apply_fn, params, schedule, hard_team: HardConds,
     return jax.vmap(one_agent)(hard_team.values, keys)
 
 
+@functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "guide_cfg"))
+def plan_sequential_root_soft(apply_fn, params, schedule, hard_team: HardConds,
+                              scene, normalizer, base_cset, keys: jax.Array,
+                              cfg: DiffusionConfig, guide_cfg: GuideConfig,
+                              radius, q_min, q_max, savgol,
+                              soft_radius, soft_weight):
+    """ECBS sequential root creation as ONE device call.
+
+    The reference plans the root agents one at a time, agent i softly
+    avoiding the already-planned agents' chosen paths (cbs.py:316-335 +
+    create_soft_constraints_from_other_agents_paths, cbs.py:468-506). That
+    order dependency is real, but nothing else needs the host: this scan
+    keeps the chosen (A, H, 2) positions in the carry and builds each
+    agent's SoftPathConstraints in-graph, eliminating the reference's (and
+    round 1's) per-agent dispatch + host-side constraint packing.
+
+    Returns (trajs (A, B, H, D), free_any (A,), idx_best (A,),
+    free_mask (A, B)). Assumes uniform start times (mask t in [1, H-1]).
+    """
+    from mmd_tpu.costs.constraints import SoftPathConstraints
+
+    A = hard_team.values.shape[0]
+    H = cfg.horizon
+    q_dim = 2
+
+    def body(carry, inp):
+        sel_pos, planned = carry                     # (A, H, 2), (A,)
+        values, key, i = inp
+        tmask = jnp.ones((A, H), jnp.float32).at[:, 0].set(0.0)
+        spc = SoftPathConstraints(points=sel_pos, mask=planned[:, None] * tmask,
+                                  radius=soft_radius, weight=soft_weight)
+        gd = GuideData(scene=scene, normalizer=normalizer,
+                       constraints=base_cset, soft_paths=spc)
+        hard = HardConds(mask=hard_team.mask, values=values)
+        _, chain = guided_p_sample_loop(apply_fn, params, schedule, hard, key,
+                                        cfg, gd=gd, guide_cfg=guide_cfg)
+        res = _finalize_plan(chain, normalizer, scene, radius, q_min, q_max,
+                             savgol)
+        best = res.trajs_final[res.idx_best]          # least-cost free traj
+        sel_pos = sel_pos.at[i].set(best[..., :q_dim])
+        planned = planned.at[i].set(1.0)
+        return (sel_pos, planned), (res.trajs_final, res.idx_best,
+                                    jnp.any(res.free_mask), res.free_mask)
+
+    init = (jnp.zeros((A, H, q_dim)), jnp.zeros((A,), jnp.float32))
+    _, (trajs, idx_best, free_any, free_mask) = jax.lax.scan(
+        body, init, (hard_team.values, keys, jnp.arange(A)))
+    return trajs, free_any, idx_best, free_mask
+
+
 def stack_hard_conds(hard_l: List[HardConds]) -> HardConds:
     """Stack per-agent HardConds (shared mask) into one (A, H, D) pytree."""
     mask = hard_l[0].mask
@@ -155,3 +205,28 @@ def plan_team_roots_device(planners: List, keys: Optional[jax.Array] = None):
                           p0.robot.radius, p0.robot.q_min, p0.robot.q_max,
                           p0._savgol)
     return res.trajs_final, jnp.any(res.free_mask, axis=-1), res.idx_best, res.free_mask
+
+
+def plan_team_roots_sequential_soft_device(planners: List,
+                                           keys: Optional[jax.Array] = None):
+    """ECBS sequential soft-constrained root, device-resident (one call).
+
+    Same return contract as plan_team_roots_device; None when the planners
+    are not batchable (caller falls back to the per-agent host loop).
+    """
+    from mmd_tpu.config import params as default_params
+
+    if not _batchable(planners):
+        return None
+    p0 = planners[0]
+    hard_team = stack_hard_conds([p.hard_conds for p in planners])
+    if keys is None:
+        keys = jnp.stack([p._next_key() for p in planners])
+    base_cset, _ = p0._pack(None)
+    trajs, free_any, idx_best, free_mask = plan_sequential_root_soft(
+        p0.model.apply, p0.params, p0.schedule, hard_team, p0.task.scene,
+        p0.dataset.normalizer, base_cset, keys, p0.cfg, p0.guide_cfg,
+        p0.robot.radius, p0.robot.q_min, p0.robot.q_max, p0._savgol,
+        jnp.asarray(default_params.vertex_constraint_radius),
+        jnp.asarray(default_params.weight_grad_cost_soft_constraints))
+    return trajs, free_any, idx_best, free_mask

@@ -54,6 +54,13 @@ def _best_paths_pos(paths_all: jax.Array, ix: jax.Array) -> jax.Array:
     return paths_all[jnp.arange(n), ix][..., :2]
 
 
+def _plannable(constraint_l) -> List[MultiPointConstraint]:
+    """Typed Vertex/Edge constraints -> plannable MultiPointConstraint form
+    (the diffusion planner consumes keep-out balls only, mpd.py:329-342)."""
+    return [c if isinstance(c, MultiPointConstraint) else c.as_multipoint()
+            for c in constraint_l]
+
+
 class SearchState:
     """Constraint-tree node (reference: cbs.py:63-106). Paths are one device
     array; copies share buffers (immutability makes get_copy free)."""
@@ -98,7 +105,8 @@ class CBS:
                  reference_robot=None, reference_task=None,
                  validate_start_goal: bool = True, verbose: bool = False,
                  root_repair_rounds: int = 0,
-                 choose_path_strategy: Optional[str] = None):
+                 choose_path_strategy: Optional[str] = None,
+                 conflict_types: Tuple = (PointConflict,)):
         self.low_level_planner_l = low_level_planner_l
         self.is_xcbs = is_xcbs
         self.is_ecbs = is_ecbs
@@ -111,11 +119,25 @@ class CBS:
         self.reference_task = reference_task or low_level_planner_l[0].task
         self.margin = self.reference_robot.rr_margin
         self.verbose = verbose
+        # Reject invalid team instances up front, as the reference does
+        # (cbs.py:155-163): pairwise separation + robot-robot + world
+        # collisions on both the start and goal sets.
+        if validate_start_goal and not is_multi_agent_start_goal_states_valid(
+                self.reference_robot, self.reference_task,
+                self.start_state_pos_l, self.goal_state_pos_l):
+            raise ValueError("Start or goal states are invalid (cbs.py:155-163).")
         # TPU-first extension beyond the reference: after the batched root,
         # run k Jacobi rounds where EVERY agent simultaneously re-plans with
         # soft constraints from the others' current paths (the parallel
         # analog of ECBS's sequential soft-constrained root, cbs.py:316-335).
         self.root_repair_rounds = root_repair_rounds
+        # Conflict types to detect (reference conflict_type_to_constraint_
+        # types, cbs.py:118-130; main pipeline uses PointConflict only,
+        # inference_multi_agent.py:116). Requesting EdgeConflict switches
+        # detection to x2-densified paths (cbs.py:185-245).
+        from mmd_tpu.common.conflicts import EdgeConflict
+        self.conflict_types = tuple(conflict_types)
+        self._densify = 2 if EdgeConflict in self.conflict_types else 1
         # 'least_collisions' (default) or 'least_cost'
         # (reference: mmd_params.py:53, cbs.py:436-462).
         self.choose_path_strategy = (choose_path_strategy or
@@ -127,15 +149,12 @@ class CBS:
         self._key = (p0._next_key() if hasattr(p0, "_next_key")
                      else jax.random.PRNGKey(default_params.seed))
         self.open_l: List[SearchState] = []
+        self._hard_all = None  # lazily stacked (A, H, D) team hard conds
 
     def _team_keys(self, n: int) -> jax.Array:
         keys = jax.random.split(self._key, n + 1)
         self._key = keys[0]
         return keys[1:]
-        if validate_start_goal and not is_multi_agent_start_goal_states_valid(
-                self.reference_robot, self.reference_task,
-                self.start_state_pos_l, self.goal_state_pos_l):
-            raise ValueError("Start or goal states are invalid (cbs.py:155-163).")
 
     # ------------------------------------------------------------- helpers
     def _log(self, *a):
@@ -163,6 +182,19 @@ class CBS:
     def _summarize(self, state: SearchState):
         """Fill n_conflicts / first_conflict from one device summary call."""
         pos = self._team_pos(state)
+        if self._densify > 1:
+            from mmd_tpu.planners.multi_agent.conflict_detection import (
+                densify_positions,
+            )
+            dense = densify_positions(pos, self._densify)
+            count, t, a, b, mid = jax.device_get(
+                team_conflict_summary(dense, self.margin))
+            state.n_conflicts = int(count)
+            state.first_conflict = (
+                self._mk_conflict_dense(int(t), int(a), int(b),
+                                        np.asarray(mid), np.asarray(pos))
+                if count else None)
+            return
         count, t, a, b, mid = jax.device_get(
             team_conflict_summary(pos, self.margin))
         state.n_conflicts = int(count)
@@ -173,10 +205,33 @@ class CBS:
         return PointConflict(agent_ids=[int(a), int(b)], p_l=[mid, mid],
                              q_l=[mid, mid], t_from=int(t), t_to=int(t))
 
+    def _mk_conflict_dense(self, t_dense: int, a: int, b: int,
+                           mid: np.ndarray, pos: np.ndarray):
+        """First-conflict record from a densified hit (reference
+        cbs.py:195-245): integral time -> VertexConflict, fractional ->
+        EdgeConflict, PointConflict as the fallback/requested type."""
+        from mmd_tpu.common.conflicts import EdgeConflict, VertexConflict
+
+        t_from = t_dense // self._densify
+        t_to = -(-t_dense // self._densify)
+        if t_from == t_to and VertexConflict in self.conflict_types:
+            return VertexConflict(agent_ids=[a, b],
+                                  q_map={a: pos[a, t_from], b: pos[b, t_from]},
+                                  t=t_from)
+        if t_from != t_to and EdgeConflict in self.conflict_types:
+            return EdgeConflict(agent_ids=[a, b],
+                                q_from_map={a: pos[a, t_from],
+                                            b: pos[b, t_from]},
+                                q_to_map={a: pos[a, t_to], b: pos[b, t_to]},
+                                t_from=t_from, t_to=t_to)
+        return PointConflict(agent_ids=[a, b], p_l=[mid, mid], q_l=[mid, mid],
+                             t_from=t_from, t_to=t_to)
+
     def get_conflicts(self, state: SearchState) -> List[PointConflict]:
         """Full conflict list (host records) — kept for API parity/rendering."""
         best = global_pad_paths(state.best_paths(), self.start_time_l)
-        return find_conflicts(best, self.margin)
+        return find_conflicts(best, self.margin,
+                              conflict_types=self.conflict_types)
 
     def create_soft_constraints_from_other_agents_paths(
             self, state: SearchState, agent_id: int,
@@ -223,6 +278,14 @@ class CBS:
             from mmd_tpu.parallel.team import plan_team_roots_device
             team = plan_team_roots_device(self.low_level_planner_l,
                                           keys=self._team_keys(self.num_agents))
+        elif self.uniform_time:
+            # ECBS sequential soft-constrained root as ONE device call
+            # (lax.scan over agents; reference cbs.py:316-335 semantics).
+            from mmd_tpu.parallel.team import (
+                plan_team_roots_sequential_soft_device,
+            )
+            team = plan_team_roots_sequential_soft_device(
+                self.low_level_planner_l, keys=self._team_keys(self.num_agents))
         else:
             team = None
 
@@ -266,7 +329,7 @@ class CBS:
 
         num_expansions = 0
         if status == TrialSuccessStatus.UNKNOWN:
-            if not root.summarized:
+            if not root.summarized or self._densify > 1:
                 self._summarize(root)
             self.open_l.append(root)
             state = root
@@ -282,8 +345,12 @@ class CBS:
             if state.n_conflicts == 0:
                 status = TrialSuccessStatus.SUCCESS
                 break
-            self.expand(state)
-            num_expansions += 1
+            n_greedy = self._expand_greedy(state)
+            if n_greedy:
+                num_expansions += n_greedy
+            else:
+                self.expand(state)
+                num_expansions += 1
             if time.time() - t_start > runtime_limit:
                 status = TrialSuccessStatus.FAIL_RUNTIME_LIMIT
                 break
@@ -293,57 +360,223 @@ class CBS:
         best_path_l = global_pad_paths(state.best_paths(), self.start_time_l)
         return best_path_l, num_expansions, status, state.n_conflicts
 
-    def _expand_children_batched(self, state: SearchState, constraints,
-                                 H_all: int) -> bool:
-        """Both children of a conflict in one vmapped device call.
+    # ------------------------------------------------------ greedy search
+    GREEDY_ITERS = 8
+    GREEDY_KBUF = 16
 
-        Requires uniform start times, XCBS (local-inference replans), MPD
-        planners sharing model/params, and matching constraint buckets.
-        Returns True when handled."""
+    def _greedy_eligible(self, state: SearchState) -> bool:
+        from mmd_tpu.parallel.team import _batchable
         from mmd_tpu.planners.single_agent.mpd import MPD
 
-        if not (self.uniform_time and self.is_xcbs and len(constraints) == 2
+        if not (self.uniform_time and self._densify == 1
+                and self.choose_path_strategy == "least_collisions"
+                and isinstance(state.first_conflict, PointConflict)):
+            return False
+        if not all(isinstance(p, MPD) for p in self.low_level_planner_l):
+            return False
+        if not _batchable(self.low_level_planner_l):
+            return False
+        for cons_l in state.constraints.values():
+            if len(cons_l) + 1 > self.GREEDY_KBUF:
+                return False
+            if any(not isinstance(c, MultiPointConstraint) or len(c.q_l) != 1
+                   or c.is_soft for c in cons_l):
+                return False
+        return True
+
+    def _expand_greedy(self, state: SearchState) -> int:
+        """k speculative best-first expansions in ONE device call
+        (fused.greedy_expand), validated against the open list.
+
+        The device program greedily descends into the less-conflicted child
+        each iteration; a recorded step is accepted only while the popped
+        node really was the global best (strictly fewer conflicts than every
+        open node), so the search explores exactly the nodes host-driven
+        CBS would. Returns the number of accepted expansions (0 = caller
+        falls back to the one-node expansion path)."""
+        if not self._greedy_eligible(state):
+            return 0
+        from mmd_tpu.models.diffusion import HardConds
+        from mmd_tpu.planners.multi_agent.fused import greedy_expand
+
+        planners = self.low_level_planner_l
+        p0 = planners[0]
+        A = self.num_agents
+        K = self.GREEDY_KBUF
+        k_iters = self.GREEDY_ITERS
+        H_all = state.paths_all.shape[2]
+
+        cons_q = np.zeros((A, K, 2), np.float32)
+        cons_t = np.zeros((A, K, 2), np.float32)
+        cons_n = np.zeros((A,), np.int32)
+        for agent_id, cons_l in state.constraints.items():
+            for k, c in enumerate(cons_l):
+                cons_q[agent_id, k] = np.asarray(c.q_l[0], np.float32)[:2]
+                cons_t[agent_id, k] = c.t_range_l[0]
+            cons_n[agent_id] = len(cons_l)
+
+        if self._hard_all is None:
+            self._hard_all = HardConds(
+                mask=p0.hard_conds.mask,
+                values=jnp.stack([p.hard_conds.values for p in planners]))
+        fc = state.first_conflict
+        conflict0 = (jnp.asarray(state.n_conflicts, jnp.int32),
+                     jnp.asarray(fc.t_from, jnp.int32),
+                     jnp.asarray(fc.agent_ids[0], jnp.int32),
+                     jnp.asarray(fc.agent_ids[1], jnp.int32),
+                     jnp.asarray(fc.q_l[0], jnp.float32)[:2])
+        keys = self._team_keys(2 * k_iters).reshape(k_iters, 2, 2)
+
+        outs = greedy_expand(
+            p0.model.apply, p0.params, p0.schedule, self._hard_all, keys,
+            p0.cfg, p0.guide_cfg, p0.task.scene, p0.dataset.normalizer,
+            p0.robot.radius, p0.robot.q_min, p0.robot.q_max, p0._savgol,
+            state.paths_all, jnp.asarray(state.ix_best, jnp.int32),
+            jnp.asarray(cons_q), jnp.asarray(cons_t), jnp.asarray(cons_n),
+            conflict0, self.margin,
+            jnp.asarray(default_params.vertex_constraint_radius),
+            jnp.asarray(default_params.weight_grad_cost_constraints),
+            jnp.asarray(default_params.vertex_constraint_radius),
+            jnp.asarray(default_params.weight_grad_cost_soft_constraints),
+            use_soft=self.is_ecbs, local=self.is_xcbs,
+            n_noise=default_params.n_local_inference_noising_steps,
+            n_denoise=default_params.n_local_inference_denoising_steps,
+            k_iters=k_iters)
+        trajs = outs[0]  # stays on device: (k, 2, B, H, D)
+        (agents_k, free_k, ix_k, counts_k, t_k, a_k, b_k, mid_k, chosen_k,
+         valid_k) = jax.device_get(outs[1:])
+
+        accepted = 0
+        parent = state
+        for s in range(k_iters):
+            if not valid_k[s]:
+                # Speculation stopped (device froze on overflow/solved); the
+                # current greedy node is unexpanded — return it to the open
+                # list for the host-driven paths.
+                if parent is not state:
+                    self.open_l.append(parent)
+                break
+            t_pad = 2
+            lo = int(np.clip(parent.first_conflict.t_from - t_pad, 0, H_all - 1))
+            hi = int(np.clip(parent.first_conflict.t_to + t_pad, 0, H_all - 1))
+            mid = np.asarray(parent.first_conflict.q_l[0], np.float32)[:2]
+
+            children = []
+            for idx in range(2):
+                agent = int(agents_k[s, idx])
+                if not bool(free_k[s, idx]):
+                    self._log("Failed to find valid path in CT node.")
+                    children.append(None)
+                    continue
+                child = parent.get_copy()
+                child.add_constraint(agent, MultiPointConstraint(
+                    q_l=[mid], t_range_l=[(lo, hi)],
+                    radius_l=[default_params.vertex_constraint_radius]))
+                child.paths_all = parent.paths_all.at[agent].set(trajs[s, idx])
+                child.ix_best[agent] = int(ix_k[s, idx])
+                child.n_conflicts = int(counts_k[s, idx])
+                child.first_conflict = (
+                    self._mk_conflict(t_k[s, idx], a_k[s, idx], b_k[s, idx],
+                                      mid_k[s, idx])
+                    if counts_k[s, idx] else None)
+                children.append(child)
+
+            accepted += 1
+            j = int(chosen_k[s])
+            chosen = children[j]
+            if chosen is None:
+                # No free child: both skipped (reference cbs.py:433-435);
+                # the device carry froze here too.
+                for c in children:
+                    if c is not None:
+                        self.open_l.append(c)
+                break
+            other = children[1 - j]
+            # Greedy continuation stays best-first as long as the chosen
+            # child is A minimum of the open list (<=): fewest-conflicts-
+            # first only requires popping *some* min-conflict node; the
+            # host sort's insertion-order tie-break is an artifact, not a
+            # semantic (reference cbs.py:365 sorts on the count alone).
+            min_open = min(
+                [n.n_conflicts for n in self.open_l]
+                + ([other.n_conflicts] if other is not None else []),
+                default=None)
+            if chosen.n_conflicts == 0 or (
+                    min_open is not None and chosen.n_conflicts > min_open):
+                # Stop descending: re-insert both children in expansion
+                # order so tie-breaking matches the host-driven search.
+                for c in children:
+                    if c is not None:
+                        self.open_l.append(c)
+                break
+            if other is not None:
+                self.open_l.append(other)
+            parent = chosen
+        else:
+            # All k iterations accepted; the final chosen node returns to
+            # the open list for the next round.
+            if parent is not state:
+                self.open_l.append(parent)
+        return accepted
+
+    def _expand_children_batched(self, state: SearchState, constraints,
+                                 H_all: int) -> bool:
+        """All children of a conflict in one vmapped device call, for every
+        CBS variant (fresh/local x with/without ECBS soft constraints).
+
+        Requires uniform start times, least-collisions selection, and MPD
+        planners sharing one model. Children with different constraint
+        counts pad to a COMMON (K, P) bucket; ECBS soft constraints are
+        built in-graph from the team's current best paths (no host packing).
+        Returns True when handled."""
+        from mmd_tpu.costs.constraints import pack_constraint_set
+        from mmd_tpu.parallel.team import _batchable
+        from mmd_tpu.planners.single_agent.mpd import (
+            K_BUCKETS, MPD, P_BUCKETS, _bucket)
+
+        if not (self.uniform_time and len(constraints) >= 1
                 and self.choose_path_strategy == "least_collisions"):
             return False
         agent_ids = list(constraints.keys())
         planners = [self.low_level_planner_l[a] for a in agent_ids]
         p0 = planners[0]
-        if not all(isinstance(p, MPD) and p.params is p0.params
-                   and p.cfg == p0.cfg and p.guide_cfg == p0.guide_cfg
-                   for p in planners):
+        if not all(isinstance(p, MPD) for p in planners) or not _batchable(planners):
             return False
 
-        children, gds = [], []
+        children, hard_lists = [], []
         for agent_id in agent_ids:
             constraint = constraints[agent_id].shifted(
                 -self.start_time_l[agent_id], 0, H_all - 1)
             child = state.get_copy()
             child.add_constraint(agent_id, constraint)
             children.append(child)
-            planner = self.low_level_planner_l[agent_id]
-            agent_constraint_l = list(child.constraints[agent_id])
-            if self.is_ecbs:
-                agent_constraint_l.extend(
-                    self.create_soft_constraints_from_other_agents_paths(
-                        child, agent_id))
-            gds.append(planner._guide_data(*planner._pack(agent_constraint_l)))
-        shapes = [jax.tree_util.tree_map(jnp.shape, g) for g in gds]
-        if shapes[0] != shapes[1]:
-            return False  # different buckets; fall back to sequential
+            hard_lists.append(_plannable(child.constraints[agent_id]))
+        try:
+            K = max(_bucket(len(hl), K_BUCKETS) for hl in hard_lists)
+            P = max(_bucket(max(len(c.q_l) for c in hl), P_BUCKETS)
+                    for hl in hard_lists)
+        except ValueError:
+            return False  # exceeds the largest bucket; generic path
 
         from mmd_tpu.models.diffusion import HardConds
-        from mmd_tpu.planners.multi_agent.fused import expand_children_local
+        from mmd_tpu.planners.multi_agent.fused import expand_children
 
-        hard_pair = HardConds(
+        cset_c = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[pack_constraint_set(hl, K, P) for hl in hard_lists])
+        hard_c = HardConds(
             mask=planners[0].hard_conds.mask,
             values=jnp.stack([p.hard_conds.values for p in planners]))
-        gd_pair = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *gds)
-        keys = self._team_keys(2)
-        trajs, scalars = expand_children_local(
-            p0.model.apply, p0.params, p0.schedule, hard_pair, gd_pair, keys,
-            p0.cfg, p0.guide_cfg, p0.task.scene, p0.robot.radius,
-            p0.robot.q_min, p0.robot.q_max, p0._savgol, state.paths_all,
-            jnp.asarray(state.ix_best), jnp.asarray(agent_ids), self.margin,
+        keys = self._team_keys(len(agent_ids))
+        trajs, scalars = expand_children(
+            p0.model.apply, p0.params, p0.schedule, hard_c, cset_c, keys,
+            p0.cfg, p0.guide_cfg, p0.task.scene, p0.dataset.normalizer,
+            p0.robot.radius, p0.robot.q_min, p0.robot.q_max, p0._savgol,
+            state.paths_all, jnp.asarray(state.ix_best),
+            jnp.asarray(agent_ids), self.margin,
+            jnp.asarray(default_params.vertex_constraint_radius),
+            jnp.asarray(default_params.weight_grad_cost_soft_constraints),
+            use_soft=self.is_ecbs, local=self.is_xcbs,
             n_noise=default_params.n_local_inference_noising_steps,
             n_denoise=default_params.n_local_inference_denoising_steps)
         any_free, ix, count, t, a, b, mid = jax.device_get(scalars)
@@ -392,7 +625,6 @@ class CBS:
         from mmd_tpu.parallel.team import (
             plan_fresh_team_soft,
             stack_hard_conds,
-            team_select_by_conflicts,
             team_soft_paths,
         )
 
@@ -438,7 +670,10 @@ class CBS:
         constraints = convert_conflicts_to_constraints(conflict)
         H_all = state.paths_all.shape[2]
 
-        if self._expand_children_batched(state, constraints, H_all):
+        # The fused paths summarize conflicts at densification 1; with edge
+        # conflicts enabled, take the generic path and re-summarize densified.
+        if self._densify == 1 and self._expand_children_batched(
+                state, constraints, H_all):
             return
 
         for agent_id, constraint in constraints.items():
@@ -446,7 +681,7 @@ class CBS:
                                             H_all - 1)
             new_state = state.get_copy()
             new_state.add_constraint(agent_id, constraint)
-            agent_constraint_l = list(new_state.constraints[agent_id])
+            agent_constraint_l = _plannable(new_state.constraints[agent_id])
             if self.is_ecbs:
                 agent_constraint_l.extend(
                     self.create_soft_constraints_from_other_agents_paths(
@@ -454,7 +689,8 @@ class CBS:
             planner = self.low_level_planner_l[agent_id]
 
             from mmd_tpu.planners.single_agent.mpd import MPD
-            if (self.uniform_time and isinstance(planner, MPD)
+            if (self.uniform_time and self._densify == 1
+                    and isinstance(planner, MPD)
                     and self.choose_path_strategy == "least_collisions"):
                 # Fully-fused expansion: plan + select + conflict summary +
                 # team update in ONE device call (fused.py).
@@ -520,7 +756,12 @@ class CBS:
 
             new_state.paths_all = new_state.paths_all.at[agent_id].set(res.trajs_final)
             new_state.ix_best[agent_id] = int(ix)
-            new_state.n_conflicts = int(count)
-            new_state.first_conflict = (self._mk_conflict(t, a, b, mid)
-                                        if count else None)
+            if self._densify > 1:
+                # Selection ran at densification 1 (a heuristic); the node's
+                # recorded conflicts must use the densified detector.
+                self._summarize(new_state)
+            else:
+                new_state.n_conflicts = int(count)
+                new_state.first_conflict = (self._mk_conflict(t, a, b, mid)
+                                            if count else None)
             self.open_l.append(new_state)

@@ -58,6 +58,25 @@ def candidate_conflict_counts(cand_pos: jax.Array, agent_idx: jax.Array,
     return (2 * cnt_agent + base).astype(jnp.int32)
 
 
+def densify_positions(paths_pos: jax.Array, factor: int) -> jax.Array:
+    """Linear x`factor` densification along the time axis.
+
+    (n, T, 2) -> (n, (T-1)*factor + 1, 2): inserts factor-1 evenly spaced
+    midpoints between consecutive waypoints (the reference's densify_trajs,
+    mmd/common/trajectory_utils.py:54-71, used by edge-conflict detection,
+    cbs.py:185-193).
+    """
+    if factor == 1:
+        return paths_pos
+    n, T, d = paths_pos.shape
+    seg = paths_pos[:, 1:] - paths_pos[:, :-1]           # (n, T-1, d)
+    fr = jnp.arange(factor, dtype=paths_pos.dtype) / factor
+    pts = (paths_pos[:, :-1, None, :]
+           + seg[:, :, None, :] * fr[None, None, :, None])
+    pts = pts.reshape(n, (T - 1) * factor, d)
+    return jnp.concatenate([pts, paths_pos[:, -1:]], axis=1)
+
+
 @jax.jit
 def team_conflict_summary(paths_pos: jax.Array, margin: float):
     """paths_pos: (n, T, 2) -> (count, t, a, b, midpoint (2,)).
@@ -185,27 +204,52 @@ def repair_accept(cand_pos_all: jax.Array, free_all: jax.Array,
 
 
 def find_conflicts(paths_l: List[np.ndarray], margin: float,
-                   max_conflicts: Optional[int] = None) -> List[PointConflict]:
-    """Build PointConflict records from padded best paths.
+                   max_conflicts: Optional[int] = None,
+                   conflict_types: Tuple = (PointConflict,)) -> List:
+    """Build conflict records from padded best paths.
 
-    Mirrors CBS.get_conflicts with densification factor 1 / PointConflict
-    (cbs.py:166-246): every ordered (t, a, b) hit becomes one conflict, in
-    row-major (t, a, b) order, with q = pair midpoint.
+    Mirrors CBS.get_conflicts (reference cbs.py:166-246): paths are
+    densified x2 when EdgeConflict is requested; every (t_dense, a, b) hit
+    then yields, in the reference's order, a VertexConflict (integral time),
+    an EdgeConflict (fractional time), and/or a PointConflict, for whichever
+    of those types was requested. With the default (PointConflict,) this is
+    the factor-1 fast path: every ordered hit becomes one PointConflict with
+    q = pair midpoint.
     """
+    from mmd_tpu.common.conflicts import EdgeConflict, VertexConflict
+
     if len(paths_l) == 0:
         return []
+    factor = 2 if EdgeConflict in conflict_types else 1
     paths_pos = jnp.asarray(np.stack([np.asarray(p)[:, :2] for p in paths_l]))
-    coll, mid = team_collision_tensor(paths_pos, margin)
+    dense = densify_positions(paths_pos, factor)
+    coll, mid = team_collision_tensor(dense, margin)
     idxs = np.argwhere(np.asarray(coll))  # (num, 3) rows [t, a, b], row-major
     mid = np.asarray(mid)
     pos = np.asarray(paths_pos)
+    pos_dense = np.asarray(dense)
     out = []
-    for t, a, b in idxs[:max_conflicts] if max_conflicts else idxs:
-        t, a, b = int(t), int(a), int(b)
-        m = mid[t, a, b]
-        out.append(PointConflict(agent_ids=[a, b],
-                                 p_l=[pos[a, t], pos[b, t]],
-                                 q_l=[m, m], t_from=t, t_to=t))
+    for t_dense, a, b in idxs[:max_conflicts] if max_conflicts else idxs:
+        t_dense, a, b = int(t_dense), int(a), int(b)
+        t_from, t_to = t_dense // factor, -(-t_dense // factor)
+        m = mid[t_dense, a, b]
+        if VertexConflict in conflict_types and t_from == t_to:
+            out.append(VertexConflict(agent_ids=[a, b],
+                                      q_map={a: pos[a, t_from],
+                                             b: pos[b, t_from]},
+                                      t=t_from))
+        if EdgeConflict in conflict_types and t_from != t_to:
+            out.append(EdgeConflict(agent_ids=[a, b],
+                                    q_from_map={a: pos[a, t_from],
+                                                b: pos[b, t_from]},
+                                    q_to_map={a: pos[a, t_to],
+                                              b: pos[b, t_to]},
+                                    t_from=t_from, t_to=t_to))
+        if PointConflict in conflict_types:
+            out.append(PointConflict(agent_ids=[a, b],
+                                     p_l=[pos_dense[a, t_dense],
+                                          pos_dense[b, t_dense]],
+                                     q_l=[m, m], t_from=t_from, t_to=t_to))
     return out
 
 

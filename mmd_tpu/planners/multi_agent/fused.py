@@ -47,44 +47,227 @@ def expand_fresh(apply_fn, params, schedule, hard: HardConds, gd: GuideData,
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "guide_cfg",
+                                             "use_soft", "local",
                                              "n_noise", "n_denoise"))
-def expand_children_local(apply_fn, params, schedule, hard_pair: HardConds,
-                          gd_pair: GuideData, keys, cfg: DiffusionConfig,
-                          guide_cfg: GuideConfig, scene, radius, q_min, q_max,
-                          savgol, paths_all, ix_best, agent_pair, margin,
-                          n_noise: int, n_denoise: int):
-    """Both children of a CT expansion in ONE device call (vmapped).
+def expand_children(apply_fn, params, schedule, hard_c: HardConds,
+                    cset_c, keys, cfg: DiffusionConfig,
+                    guide_cfg: GuideConfig, scene, normalizer, radius,
+                    q_min, q_max, savgol, paths_all, ix_best, agent_ids,
+                    margin, soft_radius, soft_weight,
+                    use_soft: bool, local: bool,
+                    n_noise: int = 0, n_denoise: int = 0):
+    """All children of a CT expansion in ONE device call, any CBS variant.
 
-    A conflict spawns two children, each replanning a different agent under
-    its own constraints — independent programs the reference runs
-    sequentially (cbs.py:395-466). hard_pair.values: (2, H, D); gd_pair
-    leaves lead with the child axis; agent_pair: (2,) int.
-    Returns (child_trajs (2, B, H, D), per-child scalar tuple).
+    A conflict spawns children, each replanning a different agent under its
+    own constraints — independent programs the reference runs sequentially
+    (cbs.py:395-466). Static flags select the variant:
+      use_soft: ECBS — each child softly avoids the others' current best
+        paths; the SoftPathConstraints rows are built IN-GRAPH from
+        (paths_all, ix_best), replacing the reference's per-expansion host
+        loop over (n_agents-1)*H waypoints (cbs.py:468-506).
+      local: XCBS — warm-start from the agent's current batch
+        (q_sample-noise n_noise steps, denoise n_denoise steps).
+
+    hard_c.values: (C, H, D); cset_c: ConstraintSet with leaves leading
+    (C, ...) — children packed to COMMON (K, P) buckets; keys: (C, 2);
+    agent_ids: (C,) int. Returns (child_trajs (C, B, H, D), per-child
+    scalar tuple (any_free, ix, count, t, a, b, mid)).
     """
+    from mmd_tpu.costs.constraints import SoftPathConstraints
 
-    def one_child(hard_values, gd, key, agent_idx):
-        seed = gd.normalizer.normalize(paths_all[agent_idx])
-        key, nkey = jax.random.split(key)
-        B = seed.shape[0]
-        t = jnp.full((B,), n_noise, jnp.int32)
-        noise = jax.random.normal(nkey, seed.shape, seed.dtype)
-        warm = q_sample(schedule, seed, t, noise)
-        hard = HardConds(mask=hard_pair.mask, values=hard_values)
-        _, chain = guided_p_sample_loop(apply_fn, params, schedule, hard, key,
-                                        cfg, gd=gd, guide_cfg=guide_cfg,
-                                        n_diffusion_steps=n_denoise,
-                                        warm_start=warm)
-        res = _finalize_plan(chain, gd.normalizer, scene, radius, q_min,
-                             q_max, savgol)
-        n = paths_all.shape[0]
-        others_pos = paths_all[jnp.arange(n), ix_best][..., :2]
+    n = paths_all.shape[0]
+    best_pos = paths_all[jnp.arange(n), ix_best][..., :2]   # (n, H, 2)
+    H = best_pos.shape[1]
+
+    def one_child(hard_values, cset, key, agent_idx):
+        spc = None
+        if use_soft:
+            tmask = jnp.ones((n, H), jnp.float32).at[:, 0].set(0.0)
+            rmask = (jnp.arange(n) != agent_idx).astype(jnp.float32)[:, None]
+            spc = SoftPathConstraints(points=best_pos, mask=rmask * tmask,
+                                      radius=soft_radius, weight=soft_weight)
+        gd = GuideData(scene=scene, normalizer=normalizer, constraints=cset,
+                       soft_paths=spc)
+        hard = HardConds(mask=hard_c.mask, values=hard_values)
+        if local:
+            seed = normalizer.normalize(paths_all[agent_idx])
+            key, nkey = jax.random.split(key)
+            t = jnp.full((seed.shape[0],), n_noise, jnp.int32)
+            noise = jax.random.normal(nkey, seed.shape, seed.dtype)
+            warm = q_sample(schedule, seed, t, noise)
+            _, chain = guided_p_sample_loop(apply_fn, params, schedule, hard,
+                                            key, cfg, gd=gd,
+                                            guide_cfg=guide_cfg,
+                                            n_diffusion_steps=n_denoise,
+                                            warm_start=warm)
+        else:
+            _, chain = guided_p_sample_loop(apply_fn, params, schedule, hard,
+                                            key, cfg, gd=gd,
+                                            guide_cfg=guide_cfg)
+        res = _finalize_plan(chain, normalizer, scene, radius, q_min, q_max,
+                             savgol)
         sel = select_candidate_and_conflicts(
-            res.trajs_final[..., :2], res.free_mask, agent_idx, others_pos,
+            res.trajs_final[..., :2], res.free_mask, agent_idx, best_pos,
             margin)
         return res.trajs_final, (jnp.any(res.free_mask), *sel)
 
     return jax.vmap(one_child, in_axes=(0, 0, 0, 0))(
-        hard_pair.values, gd_pair, keys, agent_pair)
+        hard_c.values, cset_c, keys, agent_ids)
+
+
+def _cset_from_rows(q_rows: jax.Array, t_rows: jax.Array, n: jax.Array,
+                    radius, weight):
+    """Point-constraint buffer rows -> ConstraintSet (K constraints x 1 pt).
+
+    q_rows: (K, 2) centers; t_rows: (K, 2) t-ranges; n: () live-row count.
+    """
+    from mmd_tpu.costs.constraints import ConstraintSet
+
+    K = q_rows.shape[0]
+    live = (jnp.arange(K) < n).astype(jnp.float32)
+    return ConstraintSet(
+        q=q_rows[:, None, :],
+        t_range=t_rows[:, None, :],
+        radius=jnp.full((K, 1), radius),
+        weight=jnp.full((K,), weight) * live,
+        point_mask=live[:, None],
+        active=live,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "apply_fn", "cfg", "guide_cfg", "use_soft", "local", "n_noise",
+    "n_denoise", "k_iters", "t_pad"))
+def greedy_expand(apply_fn, params, schedule, hard_all: HardConds, keys,
+                  cfg: DiffusionConfig, guide_cfg: GuideConfig, scene,
+                  normalizer, radius, q_min, q_max, savgol,
+                  paths_all, ix_best, cons_q, cons_t, cons_n,
+                  conflict0, margin, cons_radius, hard_weight,
+                  soft_radius, soft_weight,
+                  use_soft: bool, local: bool, n_noise: int, n_denoise: int,
+                  k_iters: int, t_pad: int = 2):
+    """k speculative best-first CT-search iterations in ONE device call.
+
+    Each iteration expands the current node's first conflict into two
+    children (one constrained agent each, exactly the reference expansion,
+    cbs.py:390-466), then greedily descends into the child with fewer
+    conflicts. The host validates each recorded step against its open list
+    (greedy is only correct when the chosen child is strictly better than
+    every other open node) and discards the speculated tail on mismatch —
+    CBS semantics are preserved while k expansions share one round trip
+    over the TPU tunnel.
+
+    Per-agent constraint accumulation lives on device as fixed-shape
+    buffers: cons_q (A, K, 2) centers, cons_t (A, K, 2) t-ranges,
+    cons_n (A,) live counts.
+
+    hard_all.values: (A, H, D); keys: (k_iters, 2, 2); conflict0 =
+    (count, t, a, b, mid) scalars of the popped node. Returns per-iteration
+    stacked records:
+      (trajs (k, 2, B, H, D), agent_ids (k, 2), any_free (k, 2), ix (k, 2),
+       counts (k, 2), c_t (k, 2), c_a (k, 2), c_b (k, 2), c_mid (k, 2, 2),
+       chosen (k,), valid (k,))
+    """
+    from mmd_tpu.costs.constraints import SoftPathConstraints
+
+    A, _, H, _ = paths_all.shape
+    Kbuf = cons_q.shape[1]
+
+    def expand_one_child(carry_paths, carry_ix, cq, ct, cn, agent_idx,
+                         new_q, new_t0, new_t1, key):
+        """Replan `agent_idx` under its accumulated constraints + the new
+        one; least-collisions select; summarize. Returns child record."""
+        n_a = cn[agent_idx]
+        cq2 = cq.at[agent_idx, jnp.minimum(n_a, Kbuf - 1)].set(new_q)
+        ct2 = ct.at[agent_idx, jnp.minimum(n_a, Kbuf - 1)].set(
+            jnp.stack([new_t0, new_t1]))
+        cn2 = cn.at[agent_idx].add(1)
+        cset = _cset_from_rows(cq2[agent_idx], ct2[agent_idx], cn2[agent_idx],
+                               cons_radius, hard_weight)
+        best_pos = carry_paths[jnp.arange(A), carry_ix][..., :2]
+        spc = None
+        if use_soft:
+            tmask = jnp.ones((A, H), jnp.float32).at[:, 0].set(0.0)
+            rmask = (jnp.arange(A) != agent_idx).astype(jnp.float32)[:, None]
+            spc = SoftPathConstraints(points=best_pos, mask=rmask * tmask,
+                                      radius=soft_radius, weight=soft_weight)
+        gd = GuideData(scene=scene, normalizer=normalizer, constraints=cset,
+                       soft_paths=spc)
+        hard = HardConds(mask=hard_all.mask, values=hard_all.values[agent_idx])
+        if local:
+            seed = normalizer.normalize(carry_paths[agent_idx])
+            key, nkey = jax.random.split(key)
+            tt = jnp.full((seed.shape[0],), n_noise, jnp.int32)
+            noise = jax.random.normal(nkey, seed.shape, seed.dtype)
+            warm = q_sample(schedule, seed, tt, noise)
+            _, chain = guided_p_sample_loop(apply_fn, params, schedule, hard,
+                                            key, cfg, gd=gd,
+                                            guide_cfg=guide_cfg,
+                                            n_diffusion_steps=n_denoise,
+                                            warm_start=warm)
+        else:
+            _, chain = guided_p_sample_loop(apply_fn, params, schedule, hard,
+                                            key, cfg, gd=gd,
+                                            guide_cfg=guide_cfg)
+        res = _finalize_plan(chain, normalizer, scene, radius, q_min, q_max,
+                             savgol)
+        ix, count, t, a, b, mid = select_candidate_and_conflicts(
+            res.trajs_final[..., :2], res.free_mask, agent_idx, best_pos,
+            margin)
+        return (res.trajs_final, jnp.any(res.free_mask), ix, count, t, a, b,
+                mid, cq2, ct2, cn2)
+
+    def body(carry, inp):
+        (paths, ixb, cq, ct, cn, cflt, done) = carry
+        count0, t0, a0, b0, mid0 = cflt
+        keys2 = inp
+        # New constraint from the parent's first conflict
+        # (conflict_conversion.py:18-43 with t_pad, clamped to [0, H-1]).
+        lo = jnp.clip(t0 - t_pad, 0, H - 1).astype(jnp.float32)
+        hi = jnp.clip(t0 + t_pad, 0, H - 1).astype(jnp.float32)
+        agents = jnp.stack([a0, b0])
+
+        child = jax.vmap(
+            lambda agent_idx, key: expand_one_child(
+                paths, ixb, cq, ct, cn, agent_idx, mid0, lo, hi, key)
+        )(agents, keys2)
+        (trajs2, free2, ix2, count2, ct2_, ca2, cb2, mid2, cq2, ctr2, cn2) = child
+
+        # Greedy choice: least-conflicts FREE child.
+        big = jnp.iinfo(jnp.int32).max
+        masked = jnp.where(free2, count2, big)
+        j = jnp.argmin(masked).astype(jnp.int32)
+        any_ok = jnp.any(free2)
+
+        agent_j = agents[j]
+        new_paths = paths.at[agent_j].set(trajs2[j])
+        new_ixb = ixb.at[agent_j].set(ix2[j])
+        new_cflt = (count2[j], ct2_[j], ca2[j], cb2[j], mid2[j])
+
+        # Freeze once done: node solved (count0==0), no free child, or a
+        # constraint buffer overflowed.
+        overflow = (cn[a0] >= Kbuf) | (cn[b0] >= Kbuf)
+        valid = (~done) & (count0 > 0) & ~overflow
+        step_done = done | (count0 == 0) | ~any_ok | overflow
+
+        def keep(new, old):
+            return jax.tree_util.tree_map(
+                lambda n_, o_: jnp.where(step_done, o_, n_), new, old)
+
+        carry2 = (keep(new_paths, paths), keep(new_ixb, ixb),
+                  keep(cq2[j], cq), keep(ctr2[j], ct), keep(cn2[j], cn),
+                  keep(new_cflt, cflt), step_done)
+        out = (trajs2, agents, free2, ix2, count2, ct2_, ca2, cb2, mid2, j,
+               valid)
+        return carry2, out
+
+    count0, t0, a0, b0, mid0 = conflict0
+    init = (paths_all, ix_best, cons_q, cons_t, cons_n,
+            (count0.astype(jnp.int32), t0.astype(jnp.int32),
+             a0.astype(jnp.int32), b0.astype(jnp.int32), mid0),
+            jnp.asarray(False))
+    _, outs = jax.lax.scan(body, init, keys, length=k_iters)
+    return outs
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "guide_cfg",

@@ -67,12 +67,28 @@ class PrioritizedPlanning(CBS):
                 # Fewest-conflicts selection vs already-planned agents
                 # (:172-183), one fused device call: stack previous agents
                 # plus a placeholder row for agent i.
+                prev_pos = _best_paths_pos(jnp.stack(path_tiles),
+                                           jnp.asarray(ix_best))
+                cand_pos = res.trajs_final[..., :2]
+                if not self.uniform_time:
+                    # Stagger alignment (reference :150-183 compares globally
+                    # padded paths): pad candidates and already-planned paths
+                    # to a common global timeline before selection.
+                    H = cand_pos.shape[1]
+                    max_t = max(max(self.start_time_l[j] + prev_pos.shape[1]
+                                    for j in range(i)),
+                                self.start_time_l[i] + H)
+                    prev_pos = jnp.asarray(np.stack([
+                        self._pad_pos(np.asarray(prev_pos[j]), j, max_t)
+                        for j in range(i)]))
+                    cand_pos = jnp.asarray(self._pad_pos(
+                        np.asarray(cand_pos), i, max_t))
                 paths_pos = jnp.concatenate([
-                    _best_paths_pos(jnp.stack(path_tiles), jnp.asarray(ix_best)),
-                    jnp.full((1, res.trajs_final.shape[1], 2), 1e6)], axis=0)
+                    prev_pos,
+                    jnp.full((1, prev_pos.shape[1], 2), 1e6)], axis=0)
                 ix, count, _, _, _, _, any_free = jax.device_get(
                     (*select_candidate_and_conflicts(
-                        res.trajs_final[..., :2], res.free_mask, len(path_tiles),
+                        cand_pos, res.free_mask, len(path_tiles),
                         paths_pos, self.margin), jnp.any(res.free_mask)))
             else:
                 ix, any_free = jax.device_get((res.idx_best, jnp.any(res.free_mask)))

@@ -159,7 +159,9 @@ def train(dataset: TrajectoryDataset,
         (log_fn or print)(f"resumed from step {int(state.step)}")
     step_fn = make_train_step(model.apply, schedule, optimizer, cfg)
 
-    # 95/5 train/validation split (train_loaders.py:59-82).
+    # 95/5 train/validation split (train_loaders.py:59-82). The validation
+    # prefix is excluded from the training sampling range so early stopping
+    # is measured on held-out data.
     n_val = max(1, int(dataset.n_trajs * val_fraction)) if validate_every else 0
     val_batch = dataset.trajs_normalized[:n_val] if n_val else None
     stopper = EarlyStopper(patience=early_stop_patience) if early_stop_patience else None
@@ -176,7 +178,7 @@ def train(dataset: TrajectoryDataset,
     t0 = time.perf_counter()
     for i in range(num_train_steps):
         key, bkey, lkey = jax.random.split(key, 3)
-        batch, hard = dataset.sample_batch(bkey, cfg.batch_size)
+        batch, hard = dataset.sample_batch(bkey, cfg.batch_size, start_idx=n_val)
         state, loss = step_fn(state, batch, hard, lkey)
         if (i + 1) % log_every == 0 or i == 0:
             lv = float(loss)

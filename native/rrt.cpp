@@ -20,7 +20,7 @@ struct World {
     const double* boxes;       // (n_boxes, 2) centers
     const double* half_sizes;  // (n_boxes, 2)
     int n_boxes;
-    double lo[2], hi[2];       // scaled workspace walls (1.08 * limits)
+    double lo[2], hi[2];       // workspace walls scaled 1.08x about center
     double qlo[2], qhi[2];     // configuration limits
     double margin;             // 1.1*r + cutoff
 
@@ -140,8 +140,14 @@ World make_world(const double* boxes, const double* half_sizes, int n_boxes,
     w.n_boxes = n_boxes;
     w.qlo[0] = qlim[0]; w.qlo[1] = qlim[1];
     w.qhi[0] = qlim[2]; w.qhi[1] = qlim[3];
-    w.lo[0] = qlim[0] * 1.08; w.lo[1] = qlim[1] * 1.08;
-    w.hi[0] = qlim[2] * 1.08; w.hi[1] = qlim[3] * 1.08;
+    // Scale the workspace box about its center (correct for asymmetric
+    // limits; equals the old limit*1.08 when limits are symmetric).
+    for (int d = 0; d < 2; ++d) {
+        double c = 0.5 * (qlim[d] + qlim[2 + d]);
+        double half = 0.5 * (qlim[2 + d] - qlim[d]) * 1.08;
+        w.lo[d] = c - half;
+        w.hi[d] = c + half;
+    }
     w.margin = margin;
     return w;
 }

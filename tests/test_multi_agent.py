@@ -65,6 +65,54 @@ def test_find_conflicts_ordering_and_count():
     assert count_conflicts([a, c], 0.2) == 0
 
 
+def test_edge_conflict_detection_crossing_paths():
+    """Two agents swapping positions between consecutive waypoints collide
+    only at the midpoint: integral-time detection misses it, x2-densified
+    detection emits an EdgeConflict (reference cbs.py:185-245)."""
+    from mmd_tpu.common.conflicts import (
+        EdgeConflict, PointConflict, VertexConflict)
+
+    a = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 0.0]], np.float32)
+    b = np.array([[1.0, 0.0], [0.0, 0.0], [0.0, 0.0]], np.float32)
+    # Default (PointConflict-only, factor 1): the swap goes undetected.
+    assert find_conflicts([a, b], margin=0.2) == []
+    conflicts = find_conflicts(
+        [a, b], margin=0.2,
+        conflict_types=(EdgeConflict, VertexConflict, PointConflict))
+    edges = [c for c in conflicts if isinstance(c, EdgeConflict)]
+    assert edges and edges[0].t_from == 0 and edges[0].t_to == 1
+    np.testing.assert_allclose(edges[0].q_from_map[0], [0, 0], atol=1e-6)
+    np.testing.assert_allclose(edges[0].q_to_map[0], [1, 0], atol=1e-6)
+    # The fractional hit also yields a PointConflict at the midpoint.
+    points = [c for c in conflicts if isinstance(c, PointConflict)]
+    assert points and (points[0].t_from, points[0].t_to) == (0, 1)
+    # No vertex conflicts (integral times are collision-free).
+    assert not any(isinstance(c, VertexConflict) for c in conflicts)
+
+
+def test_vertex_conflict_detection_and_conversion():
+    from mmd_tpu.common.conflicts import (
+        EdgeConflict, PointConflict, VertexConflict)
+    from mmd_tpu.common.conflict_conversion import convert_conflicts_to_constraints
+    from mmd_tpu.common.constraints import (
+        EdgeConstraint, MultiPointConstraint, VertexConstraint)
+
+    a = np.array([[0.0, 0.0], [0.5, 0.5]], np.float32)
+    b = np.array([[1.0, 1.0], [0.5, 0.5]], np.float32)
+    conflicts = find_conflicts(
+        [a, b], margin=0.2,
+        conflict_types=(EdgeConflict, VertexConflict, PointConflict))
+    verts = [c for c in conflicts if isinstance(c, VertexConflict)]
+    assert verts and verts[0].t == 1
+    cons = convert_conflicts_to_constraints(verts[0])
+    assert all(isinstance(c, VertexConstraint) for c in cons.values())
+    mp = cons[0].shifted(0, 0, 1).as_multipoint()
+    assert isinstance(mp, MultiPointConstraint)
+    edge = EdgeConstraint(q_from=np.zeros(2), q_to=np.ones(2), t_from=0, t_to=1)
+    mp2 = edge.shifted(1, 0, 10).as_multipoint()
+    assert len(mp2.q_l) == 3 and mp2.t_range_l[0] == (1, 3)
+
+
 def test_candidate_conflict_counts_matches_bruteforce():
     rng = np.random.default_rng(0)
     paths = rng.uniform(-1, 1, (4, 10, 2)).astype(np.float32)
@@ -89,6 +137,19 @@ def test_validity_gate():
     bad = [np.array([0.0, 0.0]), np.array([0.01, 0.0])]
     assert not is_multi_agent_start_goal_states_valid(
         robot, task, bad, [np.array([0.5, 0.5]), np.array([-0.5, -0.5])])
+
+
+def test_cbs_rejects_invalid_start_goal(trained_setup):
+    """CBS/PP must raise on overlapping starts (reference cbs.py:155-163)."""
+    starts, goals = get_start_goal_pos_circle(2)
+    starts[1] = starts[0] + 0.01  # overlapping pair
+    planners = _planners(trained_setup, starts, goals)
+    with pytest.raises(ValueError):
+        CBS(planners, starts, goals, validate_start_goal=True)
+    with pytest.raises(ValueError):
+        PrioritizedPlanning(planners, starts, goals, validate_start_goal=True)
+    # And the gate can be disabled.
+    CBS(planners, starts, goals, validate_start_goal=False)
 
 
 def test_prioritized_planning_circle_swap(trained_setup):
@@ -127,6 +188,59 @@ def test_xecbs_runs(trained_setup):
                       TrialSuccessStatus.FAIL_RUNTIME_LIMIT,
                       TrialSuccessStatus.FAIL_COLLISION_AGENTS,
                       TrialSuccessStatus.FAIL_NO_SOLUTION)
+
+
+class _StubPlanner:
+    """Fixed candidate batch; enough surface for PP's selection loop."""
+
+    def __init__(self, trajs, robot, task):
+        self.trajs = jnp.asarray(trajs, jnp.float32)  # (B, H, 4)
+        self.robot = robot
+        self.task = task
+
+    def _run(self, constraints_l, experience):
+        from types import SimpleNamespace
+        B = self.trajs.shape[0]
+        return SimpleNamespace(trajs_final=self.trajs,
+                               free_mask=jnp.ones((B,), bool),
+                               idx_best=jnp.asarray(0, jnp.int32))
+
+
+def test_prioritized_planning_stagger_alignment():
+    """With nonzero start times, PP's fewest-conflicts selection must compare
+    globally padded (time-aligned) paths (reference prioritized_planning.py:
+    150-183). Candidate 'bad' is free in the MISALIGNED comparison but
+    collides globally; candidate 'good' is the reverse."""
+    from mmd_tpu.robots.disk import DiskRobot
+    from mmd_tpu.tasks.task import make_task
+
+    robot = DiskRobot.make()
+    task = make_task("EnvEmpty2D")
+
+    def traj(points):
+        pos = np.asarray(points, np.float32)
+        return np.concatenate([pos, np.zeros_like(pos)], axis=-1)[None]
+
+    # Agent 0 (t0=0): passes the origin at global t=1,2, ends far away.
+    p0 = np.repeat(traj([(5, 5), (0, 0), (0, 0), (5, 5)]), 2, axis=0)
+    # Agent 1 (t0=2): bad candidate sits at the origin for its stagger pad
+    # (global t=0..2, colliding with agent 0 at t=1,2); good candidate
+    # crosses the origin at local t=1 (global t=3, agent 0 already gone).
+    bad = traj([(0, 0), (9, 9), (9, 9), (9, 9)])[0]
+    good = traj([(9, 9), (0, 0), (8, 8), (8, 8)])[0]
+    cand = np.stack([bad, good])
+
+    planners = [_StubPlanner(p0, robot, task),
+                _StubPlanner(cand, robot, task)]
+    starts = [np.array([5.0, 5.0]), np.array([0.0, 0.0])]
+    goals = [np.array([5.0, 5.0]), np.array([8.0, 8.0])]
+    pp = PrioritizedPlanning(planners, starts, goals, start_time_l=[0, 2],
+                             validate_start_goal=False)
+    paths, _, status, n_coll = pp.plan(runtime_limit=60)
+    assert n_coll == 0
+    assert status == TrialSuccessStatus.SUCCESS
+    # The good candidate (index 1) must have been selected.
+    np.testing.assert_allclose(np.asarray(paths[1][-1, :2]), [8, 8], atol=1e-5)
 
 
 def test_cbs_least_cost_strategy(trained_setup):
