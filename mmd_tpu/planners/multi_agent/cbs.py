@@ -173,11 +173,18 @@ class CBS:
         return np.concatenate(parts, axis=-2)
 
     def _team_pos(self, state: SearchState):
-        """Padded (n, T, 2) team positions; device fast path when uniform."""
+        """Padded (n, T, 2) team positions, computed on device (staggered
+        teams pad by start time with an in-graph gather,
+        conflict_detection.pad_team_positions)."""
+        pos = _best_paths_pos(state.paths_all, jnp.asarray(state.ix_best))
         if self.uniform_time:
-            return _best_paths_pos(state.paths_all, jnp.asarray(state.ix_best))
-        paths = global_pad_paths(state.best_paths(), self.start_time_l)
-        return jnp.asarray(np.stack([p[:, :2] for p in paths]))
+            return pos
+        from mmd_tpu.planners.multi_agent.conflict_detection import (
+            pad_team_positions,
+        )
+        L = state.paths_all.shape[2]
+        return pad_team_positions(pos, jnp.asarray(self.start_time_l, jnp.int32),
+                                  max(self.start_time_l) + L)
 
     def _summarize(self, state: SearchState):
         """Fill n_conflicts / first_conflict from one device summary call."""
@@ -681,12 +688,18 @@ class CBS:
                                             H_all - 1)
             new_state = state.get_copy()
             new_state.add_constraint(agent_id, constraint)
+            planner = self.low_level_planner_l[agent_id]
+            from mmd_tpu.planners.single_agent.mpd_ensemble import MPDEnsemble
+            fused_ensemble = (self._densify == 1
+                              and isinstance(planner, MPDEnsemble)
+                              and self.choose_path_strategy == "least_collisions")
             agent_constraint_l = _plannable(new_state.constraints[agent_id])
-            if self.is_ecbs:
+            if self.is_ecbs and not fused_ensemble:
+                # The fused ensemble path builds ECBS soft constraints
+                # IN-GRAPH; the host build is only for the generic paths.
                 agent_constraint_l.extend(
                     self.create_soft_constraints_from_other_agents_paths(
                         new_state, agent_id))
-            planner = self.low_level_planner_l[agent_id]
 
             from mmd_tpu.planners.single_agent.mpd import MPD
             if (self.uniform_time and self._densify == 1
@@ -711,6 +724,46 @@ class CBS:
                         n_denoise=default_params.n_local_inference_denoising_steps)
                 else:
                     new_paths, scalars = expand_fresh(*common)
+                any_free, ix, count, t, a, b, mid = jax.device_get(scalars)
+                if not bool(any_free):
+                    self._log("Failed to find valid path in CT node.")
+                    continue
+                new_state.paths_all = new_paths
+                new_state.ix_best[agent_id] = int(ix)
+                new_state.n_conflicts = int(count)
+                new_state.first_conflict = (self._mk_conflict(t, a, b, mid)
+                                            if count else None)
+                self.open_l.append(new_state)
+                continue
+
+            if fused_ensemble:
+                # Fused multi-tile expansion: ensemble plan + stagger pad +
+                # select + summary + team update in ONE device call
+                # (fused.expand_child_ensemble). ECBS soft constraints are
+                # built in-graph, so only the HARD constraints route here.
+                from mmd_tpu.planners.multi_agent.fused import (
+                    expand_child_ensemble)
+                gds = planner._guide_data(
+                    *planner._route_constraints(agent_constraint_l))
+                L = state.paths_all.shape[2]
+                T_out = max(self.start_time_l) + L
+                new_paths, scalars = expand_child_ensemble(
+                    planner.model.apply, planner.stacked_params,
+                    planner.schedule, planner.hard_conds, planner.cc, gds,
+                    planner._next_key(), planner.cfg, planner.guide_cfg,
+                    jnp.asarray(planner.transforms),
+                    planner.task.stacked_scenes, planner.robot.radius,
+                    planner.robot.q_min, planner.robot.q_max,
+                    planner._savgol, new_state.paths_all,
+                    jnp.asarray(new_state.ix_best, jnp.int32), agent_id,
+                    jnp.asarray(self.start_time_l, jnp.int32), self.margin,
+                    jnp.asarray(default_params.vertex_constraint_radius),
+                    jnp.asarray(default_params.weight_grad_cost_soft_constraints),
+                    n_tiles=planner.n_tiles, use_soft=self.is_ecbs,
+                    local=self.is_xcbs,
+                    n_noise=default_params.n_local_inference_noising_steps,
+                    n_denoise=default_params.n_local_inference_denoising_steps,
+                    T_out=T_out)
                 any_free, ix, count, t, a, b, mid = jax.device_get(scalars)
                 if not bool(any_free):
                     self._log("Failed to find valid path in CT node.")

@@ -58,6 +58,22 @@ def candidate_conflict_counts(cand_pos: jax.Array, agent_idx: jax.Array,
     return (2 * cnt_agent + base).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("T_out",))
+def pad_team_positions(paths_pos: jax.Array, start_times: jax.Array,
+                       T_out: int) -> jax.Array:
+    """In-graph stagger padding: (n, L, 2), (n,) int -> (n, T_out, 2).
+
+    Agent i's padded path repeats its first state for start_times[i] steps
+    and its last state out to T_out — exactly global_pad_paths
+    (mmd/common/multi_agent_utils.py:120-143) as one clipped gather, so
+    staggered-start teams stay on device instead of round-tripping through
+    host numpy padding.
+    """
+    L = paths_pos.shape[1]
+    idx = jnp.clip(jnp.arange(T_out)[None, :] - start_times[:, None], 0, L - 1)
+    return jnp.take_along_axis(paths_pos, idx[..., None], axis=1)
+
+
 def densify_positions(paths_pos: jax.Array, factor: int) -> jax.Array:
     """Linear x`factor` densification along the time axis.
 

@@ -270,6 +270,98 @@ def greedy_expand(apply_fn, params, schedule, hard_all: HardConds, keys,
     return outs
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "apply_fn", "cfg", "guide_cfg", "n_tiles", "use_soft", "local",
+    "n_noise", "n_denoise", "T_out"))
+def expand_child_ensemble(apply_fn, stacked_params, schedule,
+                          hard: HardConds, cc, gds: GuideData, key,
+                          cfg: DiffusionConfig, guide_cfg: GuideConfig,
+                          transforms, stacked_scenes, radius, q_min, q_max,
+                          savgol, paths_all, ix_best, agent_idx, start_times,
+                          margin, soft_radius, soft_weight,
+                          n_tiles: int, use_soft: bool, local: bool,
+                          n_noise: int, n_denoise: int, T_out: int):
+    """One CT child for a multi-tile (MPDEnsemble) agent in ONE device call.
+
+    The generic path pays two device calls plus host numpy padding per
+    expansion (plan, then select+summarize after global_pad_paths); here the
+    cross-conditioned ensemble plan, global assembly, stagger padding,
+    least-collisions selection, conflict summary, and team-state update all
+    run in one jitted program — the multi-tile analog of
+    expand_fresh/expand_local (reference: cbs.py:390-466 against
+    MPDEnsemble, mpd_ensemble.py:335-528).
+
+    paths_all: (A, B, L, D) GLOBAL-frame team batches (L = n_tiles * H,
+    uniform across agents); start_times: (A,) int stagger offsets;
+    T_out = max(start_times) + L (static). ECBS soft constraints are built
+    IN-GRAPH per tile from the others' padded best paths (reference
+    cbs.py:468-506 routed through split_cost_constraints_to_tasks,
+    mpd_ensemble.py:431-518). XCBS warm-starts from the agent's current
+    GLOBAL batch, split into per-tile local normalized seeds.
+    """
+    from mmd_tpu.costs.constraints import SoftPathConstraints
+    from mmd_tpu.models.diffusion import q_sample as _q_sample
+    from mmd_tpu.planners.multi_agent.conflict_detection import (
+        pad_team_positions,
+    )
+    from mmd_tpu.planners.single_agent.mpd_ensemble import _finalize_ensemble
+
+    A, B, L, D = paths_all.shape
+    H = L // n_tiles
+    others_pos = paths_all[jnp.arange(A), ix_best][..., :2]        # (A, L, 2)
+    others_pad = pad_team_positions(others_pos, start_times, T_out)
+
+    if use_soft:
+        # Tile m, local step t <-> agent-global time u = m*H + t; the other
+        # agents' positions at absolute time start_times[agent] + u become
+        # per-tile keep-out balls in that tile's local frame.
+        u = jnp.arange(L).reshape(n_tiles, H)                      # (T, H)
+        tau = jnp.clip(start_times[agent_idx] + u, 0, T_out - 1)
+        pts = others_pad[:, tau]                                   # (A, T, H, 2)
+        pts = jnp.transpose(pts, (1, 0, 2, 3)) - transforms[:, None, None, :]
+        rmask = (jnp.arange(A) != agent_idx).astype(jnp.float32)
+        msk = jnp.broadcast_to(rmask[None, :, None], (n_tiles, A, H))
+        msk = msk * (u[:, None, :] >= 1)  # skip the start waypoint (ref :480)
+        spc = SoftPathConstraints(
+            points=pts, mask=msk,
+            radius=jnp.full((n_tiles,), soft_radius),
+            weight=jnp.full((n_tiles,), soft_weight))
+        gds = GuideData(scene=gds.scene, normalizer=gds.normalizer,
+                        constraints=gds.constraints, soft_paths=spc)
+
+    from mmd_tpu.models.ensemble import ensemble_p_sample_loop
+    if local:
+        seed = paths_all[agent_idx]                                # (B, L, D)
+        tiles = jnp.transpose(seed.reshape(B, n_tiles, H, D), (1, 0, 2, 3))
+        tiles = tiles.at[..., :2].add(-transforms[:, None, None, :])
+        seed_local = jax.vmap(lambda x, nrm: nrm.normalize(x))(
+            tiles, gds.normalizer)
+        key, nkey = jax.random.split(key)
+        tt = jnp.full((n_tiles * B,), n_noise, jnp.int32)
+        noise = jax.random.normal(nkey, seed_local.shape, seed_local.dtype)
+        warm = _q_sample(schedule, seed_local.reshape(n_tiles * B, H, D), tt,
+                         noise.reshape(n_tiles * B, H, D)).reshape(
+                             n_tiles, B, H, D)
+        _, chain = ensemble_p_sample_loop(apply_fn, stacked_params, schedule,
+                                          hard, cc, key, cfg, gds=gds,
+                                          guide_cfg=guide_cfg,
+                                          n_diffusion_steps=n_denoise,
+                                          warm_start=warm, n_tiles=n_tiles)
+    else:
+        _, chain = ensemble_p_sample_loop(apply_fn, stacked_params, schedule,
+                                          hard, cc, key, cfg, gds=gds,
+                                          guide_cfg=guide_cfg, n_tiles=n_tiles)
+    res = _finalize_ensemble(chain, gds, transforms, stacked_scenes, radius,
+                             q_min, q_max, savgol)
+
+    idx = jnp.clip(jnp.arange(T_out) - start_times[agent_idx], 0, L - 1)
+    cand_pad = res.trajs_final[..., :2][:, idx, :]                 # (B, T_out, 2)
+    ix, count, t, a, b, mid = select_candidate_and_conflicts(
+        cand_pad, res.free_mask, agent_idx, others_pad, margin)
+    new_paths_all = paths_all.at[agent_idx].set(res.trajs_final)
+    return new_paths_all, (jnp.any(res.free_mask), ix, count, t, a, b, mid)
+
+
 @functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "guide_cfg",
                                              "n_noise", "n_denoise"))
 def expand_local(apply_fn, params, schedule, hard: HardConds, gd: GuideData,
