@@ -49,8 +49,17 @@ class GPMP2Config:
 
 def _whitened_residuals(theta: jax.Array, scene: SceneData,
                         start_state: jax.Array, goal_state: jax.Array,
-                        cfg: GPMP2Config) -> jax.Array:
-    """theta: (H, 4) -> flat whitened residual vector."""
+                        cfg: GPMP2Config, coll_fn=None) -> jax.Array:
+    """theta: (H, 2*q_dim) -> flat whitened residual vector.
+
+    `coll_fn` (optional, static) generalizes the collision factor beyond
+    the point robot: it maps the (H-1, 2*q_dim) interior states to signed
+    CLEARANCES (any shape; <0 = penetration). The default is the disk
+    pipeline's grid-SDF-minus-margin at the xy position — an articulated
+    robot passes its FK-sphere clearances instead (the reference ties the
+    field factor to fk_map_collision the same way, cost_functions.py:166,
+    robot_base.py:175-192).
+    """
     H = cfg.n_support_points
     q_dim = theta.shape[-1] // 2
     phi, q_inv = gp_matrices(q_dim, cfg.dt, cfg.sigma_gp)
@@ -61,20 +70,23 @@ def _whitened_residuals(theta: jax.Array, scene: SceneData,
     e_gp = theta[1:] - theta[:-1] @ jnp.asarray(phi).T          # (H-1, 4)
     r_gp = e_gp @ L                                              # whitened
 
-    pos = theta[1:, :q_dim]
-    from mmd_tpu.tasks.task import scene_object_sdf
-    sd_obj = scene_object_sdf(scene, pos)
-    sd_bound = jnp.min(boundary_signed_distances(scene, pos), axis=-1)
-    sd = jnp.minimum(sd_obj, sd_bound)
-    r_coll = jnp.maximum(cfg.collision_margin - sd, 0.0) / cfg.sigma_coll
+    if coll_fn is None:
+        pos = theta[1:, :q_dim]
+        from mmd_tpu.tasks.task import scene_object_sdf
+        sd_obj = scene_object_sdf(scene, pos)
+        sd_bound = jnp.min(boundary_signed_distances(scene, pos), axis=-1)
+        clearance = jnp.minimum(sd_obj, sd_bound) - cfg.collision_margin
+    else:
+        clearance = coll_fn(theta[1:])
+    r_coll = jnp.maximum(-clearance, 0.0).reshape(-1) / cfg.sigma_coll
 
     return jnp.concatenate([r_start, r_goal, r_gp.reshape(-1), r_coll])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "coll_fn"))
 def gpmp2_optimize(scene: SceneData, start_state: jax.Array,
                    goal_state: jax.Array, init_trajs: jax.Array,
-                   cfg: GPMP2Config) -> jax.Array:
+                   cfg: GPMP2Config, coll_fn=None) -> jax.Array:
     """init_trajs: (P, H, 4) -> optimized (P, H, 4).
 
     Damped Gauss-Newton: dtheta = -(J^T J + delta*diag(J^T J))^-1 J^T r,
@@ -86,7 +98,7 @@ def gpmp2_optimize(scene: SceneData, start_state: jax.Array,
 
     def res_flat(theta_flat):
         return _whitened_residuals(theta_flat.reshape(H, D), scene,
-                                   start_state, goal_state, cfg)
+                                   start_state, goal_state, cfg, coll_fn)
 
     def one_iter(theta_flat, _):
         r = res_flat(theta_flat)

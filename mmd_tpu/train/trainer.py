@@ -90,36 +90,79 @@ def init_train_state(params, optimizer) -> TrainState:
     )
 
 
+def _update(apply_fn: Callable, schedule: DiffusionSchedule, optimizer,
+            cfg: TrainConfig, state: TrainState, batch: jax.Array,
+            hard: HardConds, key: jax.Array):
+    """One optimizer step (shared by the per-step and scanned programs)."""
+    loss, grads = jax.value_and_grad(
+        lambda p: diffusion_loss(apply_fn, p, schedule, batch, hard, key,
+                                 cfg.n_diffusion_steps))(state.params)
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    step = state.step + 1
+
+    def ema_update(ema):
+        # Hard reset before step_start_ema, EMA blend after
+        # (trainer.py:297-302).
+        do_reset = step < cfg.step_start_ema
+        return jax.tree_util.tree_map(
+            lambda e, p: jnp.where(do_reset, p,
+                                   e * cfg.ema_decay + p * (1 - cfg.ema_decay)),
+            ema, params)
+
+    ema_params = jax.lax.cond(
+        step % cfg.update_ema_every == 0,
+        ema_update, lambda e: e, state.ema_params)
+
+    return TrainState(params=params, ema_params=ema_params,
+                      opt_state=opt_state, step=step), loss
+
+
 def make_train_step(apply_fn: Callable, schedule: DiffusionSchedule,
                     optimizer, cfg: TrainConfig):
     """Returns a jitted (state, batch, hard, key) -> (state, loss) step."""
 
     def step_fn(state: TrainState, batch: jax.Array, hard: HardConds,
                 key: jax.Array):
-        loss, grads = jax.value_and_grad(
-            lambda p: diffusion_loss(apply_fn, p, schedule, batch, hard, key,
-                                     cfg.n_diffusion_steps))(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        step = state.step + 1
-
-        def ema_update(ema):
-            # Hard reset before step_start_ema, EMA blend after
-            # (trainer.py:297-302).
-            do_reset = step < cfg.step_start_ema
-            return jax.tree_util.tree_map(
-                lambda e, p: jnp.where(do_reset, p,
-                                       e * cfg.ema_decay + p * (1 - cfg.ema_decay)),
-                ema, params)
-
-        ema_params = jax.lax.cond(
-            step % cfg.update_ema_every == 0,
-            ema_update, lambda e: e, state.ema_params)
-
-        return TrainState(params=params, ema_params=ema_params,
-                          opt_state=opt_state, step=step), loss
+        return _update(apply_fn, schedule, optimizer, cfg, state, batch,
+                       hard, key)
 
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_train_chunk(apply_fn: Callable, schedule: DiffusionSchedule,
+                     optimizer, cfg: TrainConfig, chunk: int):
+    """Returns a jitted (state, data, key) -> (state, mean_loss) program
+    running `chunk` optimizer steps as one lax.scan.
+
+    The per-step host loop pays one device round trip per step — over the
+    tunneled TPU that dominates wall clock (~100+ ms vs ~few ms of compute
+    for the small UNet). Batch sampling moves IN-GRAPH: `data` is the
+    device-resident normalized trajectory store and each scan iteration
+    gathers its own random batch, so the host touches the device once per
+    `chunk` steps. The held-out validation prefix [0, n_val) is excluded
+    from the sampling range exactly as TrajectoryDataset.sample_batch does.
+    """
+
+    def chunk_fn(state: TrainState, data: jax.Array, n_val: jax.Array,
+                 key: jax.Array):
+        H = data.shape[1]
+        mask = jnp.zeros((H, 1)).at[0].set(1.0).at[H - 1].set(1.0)
+
+        def body(st, k):
+            bkey, lkey = jax.random.split(k)
+            idx = jax.random.randint(bkey, (cfg.batch_size,), n_val,
+                                     data.shape[0])
+            batch = data[idx]
+            hard = HardConds(mask=mask, values=batch)
+            return _update(apply_fn, schedule, optimizer, cfg, st, batch,
+                           hard, lkey)
+
+        keys = jax.random.split(key, chunk)
+        state, losses = jax.lax.scan(body, state, keys)
+        return state, losses.mean()
+
+    return jax.jit(chunk_fn, donate_argnums=(0,))
 
 
 def train(dataset: TrajectoryDataset,
@@ -174,13 +217,31 @@ def train(dataset: TrajectoryDataset,
         return diffusion_loss(model.apply, params, schedule, val_batch, hard,
                               key, cfg.n_diffusion_steps)
 
+    # Scanned multi-step training: run `chunk` steps per device call (the
+    # largest chunk that still honors every host-side cadence), instead of
+    # one tunnel round trip per step.
+    cadences = [c for c in (log_every, validate_every, summary_every,
+                            steps_til_checkpoint, num_train_steps) if c]
+    chunk = max(1, min(cadences))
+    if chunk > 1 and num_train_steps % chunk == 0 and all(
+            c % chunk == 0 for c in cadences):
+        chunk_fn = make_train_chunk(model.apply, schedule, optimizer, cfg,
+                                    chunk)
+    else:
+        chunk, chunk_fn = 1, None
+
     losses, val_losses = [], []
     t0 = time.perf_counter()
-    for i in range(num_train_steps):
+    for i in range(chunk - 1, num_train_steps, chunk):
         key, bkey, lkey = jax.random.split(key, 3)
-        batch, hard = dataset.sample_batch(bkey, cfg.batch_size, start_idx=n_val)
-        state, loss = step_fn(state, batch, hard, lkey)
-        if (i + 1) % log_every == 0 or i == 0:
+        if chunk_fn is not None:
+            state, loss = chunk_fn(state, dataset.trajs_normalized,
+                                   jnp.asarray(n_val), lkey)
+        else:
+            batch, hard = dataset.sample_batch(bkey, cfg.batch_size,
+                                               start_idx=n_val)
+            state, loss = step_fn(state, batch, hard, lkey)
+        if (i + 1) % log_every == 0 or i + 1 == chunk:
             lv = float(loss)
             losses.append((i + 1, lv))
             msg = f"step {i + 1}/{num_train_steps} loss {lv:.5f} ({time.perf_counter() - t0:.1f}s)"
