@@ -51,3 +51,69 @@ def gp_trajectory_cost(trajs: jax.Array, dt: float, sigma: float = 1.0) -> jax.A
     q_inv = jnp.asarray(q_inv, trajs.dtype)
     e = gp_error(trajs, dt)  # (..., H-1, 2q)
     return jnp.einsum("...ti,ij,...tj->...", e, q_inv, e)
+
+
+# ----------------------------------------------------- GP trajectory prior
+def const_vel_trajectory(start_state: jax.Array, goal_state: jax.Array,
+                         horizon: int, dt: float,
+                         zero_endpoint_vel: bool = True) -> jax.Array:
+    """Constant-velocity mean trajectory (H, 2q) bridging start -> goal
+    (reference: mp_priors_multi.py:131-151 const_vel_trajectory)."""
+    q = start_state.shape[-1] // 2
+    alpha = jnp.linspace(0.0, 1.0, horizon)[:, None]
+    pos = (1 - alpha) * start_state[:q][None] + alpha * goal_state[:q][None]
+    mean_vel = (goal_state[:q] - start_state[:q]) / ((horizon - 1) * dt)
+    vel = jnp.tile(mean_vel[None], (horizon, 1))
+    if zero_endpoint_vel:
+        vel = vel.at[0].set(0.0).at[-1].set(0.0)
+    return jnp.concatenate([pos, vel], -1)
+
+
+@functools.lru_cache(maxsize=8)
+def gp_prior_precision(horizon: int, q_dim: int, dt: float,
+                       sigma_start: float = 1e-3, sigma_gp: float = 2e-1,
+                       sigma_goal: float = 1e-3) -> np.ndarray:
+    """Full-trajectory precision K_inv = A^T Q_inv A of the goal-directed
+    constant-velocity GP (reference: mp_priors_multi.py:215-262
+    get_const_vel_covariance — the sparse lifted-system form; Mukadam et
+    al., GPMP2). Returns an (M, M) numpy constant, M = 2*q_dim*horizon.
+    """
+    D = 2 * q_dim
+    M = D * horizon
+    phi, q_inv = gp_matrices(q_dim, dt, sigma_gp)
+    A = np.eye(M, dtype=np.float64)
+    for t in range(horizon - 1):
+        A[D * (t + 1):D * (t + 2), D * t:D * (t + 1)] = -phi
+    goal_row = np.zeros((D, M))
+    goal_row[:, -D:] = np.eye(D)
+    A = np.concatenate([A, goal_row], 0)
+    blocks = ([np.eye(D) / sigma_start**2]
+              + [q_inv.astype(np.float64)] * (horizon - 1)
+              + [np.eye(D) / sigma_goal**2])
+    Q_inv = np.zeros((M + D, M + D))
+    off = 0
+    for b in blocks:
+        Q_inv[off:off + D, off:off + D] = b
+        off += D
+    return (A.T @ Q_inv @ A).astype(np.float32)
+
+
+def sample_gp_prior(key: jax.Array, start_state: jax.Array,
+                    goal_state: jax.Array, horizon: int, dt: float,
+                    n_samples: int, sigma_start: float = 1e-3,
+                    sigma_gp: float = 2e-1,
+                    sigma_goal: float = 1e-3) -> jax.Array:
+    """Draw (n_samples, H, 2q) trajectories from the goal-directed GP prior
+    N(const-vel mean, K_inv^-1) — the reference's MultiMPPrior sampling
+    (mp_priors_multi.py:104-110 dist.sample via precision matrix), used for
+    diverse trajectory initialization. Sampling uses the precision Cholesky:
+    x = mean + L^-T z with L = chol(K_inv).
+    """
+    q_dim = start_state.shape[-1] // 2
+    mean = const_vel_trajectory(start_state, goal_state, horizon, dt)
+    k_inv = jnp.asarray(gp_prior_precision(horizon, q_dim, dt, sigma_start,
+                                           sigma_gp, sigma_goal))
+    L = jnp.linalg.cholesky(k_inv)                      # (M, M)
+    z = jax.random.normal(key, (n_samples, k_inv.shape[0]))
+    dev = jax.scipy.linalg.solve_triangular(L.T, z.T, lower=False).T
+    return mean[None] + dev.reshape(n_samples, horizon, 2 * q_dim)

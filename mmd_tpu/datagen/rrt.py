@@ -124,6 +124,8 @@ class RRTConnect:
 class RRTStar(RRTConnect):
     """Single-tree RRT* with rewiring (reference: rrt_star.py:84-276)."""
 
+    informed = False  # InfRRTStar flips this (reference rrt_star.py:103,273)
+
     def __init__(self, *args, rewire_radius: float = 0.2, **kwargs):
         super().__init__(*args, **kwargs)
         self.rewire_radius = rewire_radius
@@ -141,6 +143,13 @@ class RRTStar(RRTConnect):
                 break
             # Goal bias.
             q_rand = self.goal if self.rng.random() < 0.1 else self._sample()
+            if (self.informed and goal_idx is not None
+                    and np.linalg.norm(self.start - q_rand)
+                    + np.linalg.norm(q_rand - self.goal) >= costs[goal_idx]):
+                # Informed rejection: only samples inside the prolate
+                # hyperspheroid can improve the incumbent
+                # (reference rrt_star.py:197).
+                continue
             near = tree.nearest(q_rand)
             q_new = self._steer(tree.nodes[near], q_rand)
             if self.checker.in_collision(q_new[None])[0]:
@@ -167,12 +176,24 @@ class RRTStar(RRTConnect):
             # Try to connect to goal.
             if _close(q_new, self.goal, self.n_radius) and \
                self.checker.segment_free(q_new, self.goal, self.step_size):
-                goal_idx = tree.add(self.goal, idx)
-                costs.append(best_cost + np.linalg.norm(self.goal - q_new))
-                break
+                c_goal = best_cost + np.linalg.norm(self.goal - q_new)
+                if goal_idx is None or c_goal < costs[goal_idx]:
+                    goal_idx = tree.add(self.goal, idx)
+                    costs.append(c_goal)
+                if not self.informed:
+                    break  # first-solution semantics (datagen fast path)
         if goal_idx is None:
             return None
         return _dedupe(np.stack(tree.path_to(goal_idx)))
+
+
+class InfRRTStar(RRTStar):
+    """Informed RRT* (reference: rrt_star.py:273-276): anytime refinement —
+    after the first solution, sampling is restricted to the prolate
+    hyperspheroid of states that can shorten the incumbent, and better
+    goal connections replace it until the iteration/time budget ends."""
+
+    informed = True
 
 
 class IdentityPlanner:

@@ -191,11 +191,16 @@ def run_multi_agent_trial(cfg: MultiAgentPlanningSingleTrialConfig,
     )
 
     # Post-hoc audit: any pair within 2r flips success (reference :286-296).
+    # Device-side via the batched collision tensor — the dense (n, n, T)
+    # host tensor this replaces stops scaling past a few dozen agents.
     if len(paths_l) > 0 and status == TrialSuccessStatus.SUCCESS:
-        arr = np.stack([np.asarray(p)[:, :2] for p in paths_l])  # (n, T, 2)
-        d = np.linalg.norm(arr[:, None] - arr[None, :], axis=-1)  # (n, n, T)
-        iu = np.triu_indices(num_agents, k=1)
-        n_audit = int((d[iu] < 2.0 * default_params.robot_planar_disk_radius).sum())
+        from mmd_tpu.planners.multi_agent.conflict_detection import (
+            team_collision_tensor,
+        )
+        arr = jnp.asarray(np.stack([np.asarray(p)[:, :2] for p in paths_l]))
+        coll, _ = team_collision_tensor(
+            arr, 2.0 * default_params.robot_planar_disk_radius)
+        n_audit = int(jnp.sum(coll)) // 2  # symmetric -> unordered pairs
         if n_audit > 0:
             result.num_collisions_in_solution += n_audit
             result.success_status = TrialSuccessStatus.FAIL_COLLISION_AGENTS

@@ -234,6 +234,41 @@ class CBS:
         return PointConflict(agent_ids=[a, b], p_l=[mid, mid], q_l=[mid, mid],
                              t_from=t_from, t_to=t_to)
 
+    def render_paths(self, paths_l, constraints_l=None,
+                     animation_duration: float = 10.0,
+                     output_fpath: str = "ct-paths.gif",
+                     n_frames: Optional[int] = None, plot_trajs: bool = True,
+                     show_robot_in_image: bool = True) -> str:
+        """Render the team solution — GIF animation, or a PNG when
+        animation_duration is falsy (reference: cbs.py:248-300)."""
+        from mmd_tpu.viz.visualizer import PlanningVisualizer
+
+        viz = PlanningVisualizer(task=self.reference_task)
+        if not animation_duration:
+            import matplotlib.pyplot as plt
+            fig = ax = None
+            for i, p in enumerate(paths_l):
+                fig, ax = viz.render_robot_trajectories(
+                    fig=fig, ax=ax, trajs=np.asarray(p)[None],
+                    start_state=self.start_state_pos_l[i],
+                    goal_state=self.goal_state_pos_l[i],
+                    constraints_l=constraints_l,
+                    show_robot_in_image=show_robot_in_image)
+            if not output_fpath.endswith(".png"):
+                output_fpath = output_fpath.rsplit(".", 1)[0] + ".png"
+            ax.axis("off")
+            fig.savefig(output_fpath, dpi=100, bbox_inches="tight",
+                        pad_inches=0)
+            plt.close(fig)
+            return output_fpath
+        T = max(np.asarray(p).shape[0] for p in paths_l)
+        return viz.animate_multi_robot_trajectories(
+            trajs_l=paths_l, start_state_l=self.start_state_pos_l,
+            goal_state_l=self.goal_state_pos_l, plot_trajs=plot_trajs,
+            video_filepath=output_fpath,
+            n_frames=n_frames or max(2, min(T, 100)),
+            anim_time=animation_duration, constraints=constraints_l)
+
     def get_conflicts(self, state: SearchState) -> List[PointConflict]:
         """Full conflict list (host records) — kept for API parity/rendering."""
         best = global_pad_paths(state.best_paths(), self.start_time_l)

@@ -27,10 +27,12 @@ from mmd_tpu.planners.single_agent.mpd import MPD
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--env", required=True)
-    ap.add_argument("--n_tasks", type=int, default=10)
+    ap.add_argument("--n_tasks", type=int, default=50)
     ap.add_argument("--n_samples", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--render_dir", default=None)
+    ap.add_argument("--out_yaml", default=None,
+                    help="append the aggregate row to this yaml file")
     args = ap.parse_args()
 
     registry = ModelRegistry()
@@ -64,13 +66,54 @@ def main():
                 trajs=np.asarray(out.trajs_final_free),
                 start_state=start, goal_state=goal)
             fig.savefig(os.path.join(args.render_dir, f"task_{i}.png"), dpi=90)
+            if i == 0:
+                # Deep-render set for the first task: SDF + gradient field,
+                # joint-space panels, denoising-chain animation.
+                sfig, sax = viz.render_env_sdf()
+                sfig.savefig(os.path.join(args.render_dir, "env_sdf.png"),
+                             dpi=120)
+                gfig, gax = viz.render_env_grad_sdf()
+                gfig.savefig(os.path.join(args.render_dir, "env_grad_sdf.png"),
+                             dpi=120)
+                fmask = np.zeros(len(out.trajs_final), bool)
+                fmask[np.asarray(out.trajs_final_free_idxs)] = True
+                viz.plot_joint_space_trajectories(
+                    np.asarray(out.trajs_final), free_mask=fmask,
+                    pos_start=np.asarray(start), pos_goal=np.asarray(goal),
+                    q_min=np.asarray(planner.robot.q_min),
+                    q_max=np.asarray(planner.robot.q_max),
+                    output_fpath=os.path.join(args.render_dir,
+                                              "joint_space.png"))
+                viz.animate_opt_iters(
+                    np.asarray(out.trajs_iters), idx_best=out.idx_best_traj,
+                    start_state=np.asarray(start), goal_state=np.asarray(goal),
+                    video_filepath=os.path.join(args.render_dir,
+                                                "opt_iters.gif"))
 
+    row = {
+        "model": mid, "n_tasks": args.n_tasks,
+        "fraction_free": float(np.mean(stats["fraction_free"])),
+        "success_rate": float(np.mean(stats["success"])),
+        "adherence": (float(np.mean(stats["adherence"]))
+                      if stats["adherence"] else None),
+        "plan_time": float(np.mean(stats["plan_time"][1:]
+                                   or stats["plan_time"])),
+    }
     print(f"model {mid} over {args.n_tasks} tasks:")
-    print(f"  fraction_free: {np.mean(stats['fraction_free']):.3f}")
-    print(f"  success_rate:  {np.mean(stats['success']):.3f}")
-    if stats["adherence"]:
-        print(f"  adherence:     {np.mean(stats['adherence']):.3f}")
-    print(f"  plan_time:     {np.mean(stats['plan_time'][1:] or stats['plan_time']):.3f}s")
+    print(f"  fraction_free: {row['fraction_free']:.3f}")
+    print(f"  success_rate:  {row['success_rate']:.3f}")
+    if row["adherence"] is not None:
+        print(f"  adherence:     {row['adherence']:.3f}")
+    print(f"  plan_time:     {row['plan_time']:.3f}s")
+    if args.out_yaml:
+        import yaml
+        rows = []
+        if os.path.exists(args.out_yaml):
+            with open(args.out_yaml) as f:
+                rows = yaml.safe_load(f) or []
+        rows = [r for r in rows if r.get("model") != mid] + [row]
+        with open(args.out_yaml, "w") as f:
+            yaml.safe_dump(rows, f)
 
 
 if __name__ == "__main__":

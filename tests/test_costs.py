@@ -125,3 +125,30 @@ def test_guide_jit_and_constraint_swap_no_recompile():
     g2 = f(x, GuideData(scene=env.scene, normalizer=norm, constraints=c2), cfg)
     assert f._cache_size() == 1
     assert g1.shape == g2.shape
+
+
+def test_gp_prior_sampling_statistics():
+    """MultiMPPrior analog: samples pin start/goal, scatter mid-horizon,
+    and have near-zero mean deviation (mp_priors_multi.py:15-110)."""
+    import jax
+
+    from mmd_tpu.costs.gp import const_vel_trajectory, sample_gp_prior
+
+    H, dt = 32, 0.1
+    start = jnp.asarray([-0.5, -0.5, 0.0, 0.0])
+    goal = jnp.asarray([0.5, 0.5, 0.0, 0.0])
+    trajs = sample_gp_prior(jax.random.PRNGKey(0), start, goal, H, dt, 256)
+    assert trajs.shape == (256, H, 4)
+    mean = const_vel_trajectory(start, goal, H, dt)
+    # Endpoints pinned by the tight start/goal factors.
+    np.testing.assert_allclose(np.asarray(trajs[:, 0, :2]).mean(0),
+                               [-0.5, -0.5], atol=5e-3)
+    assert float(np.abs(np.asarray(trajs[:, 0, :2]) - (-0.5)).std()) < 5e-3
+    np.testing.assert_allclose(np.asarray(trajs[:, -1, :2]).mean(0),
+                               [0.5, 0.5], atol=5e-3)
+    # Mid-horizon scatter well above endpoint scatter.
+    mid_std = float(np.asarray(trajs[:, H // 2, :2]).std(0).mean())
+    assert mid_std > 0.02
+    # Sample mean tracks the const-vel mean.
+    err = np.abs(np.asarray(trajs.mean(0)) - np.asarray(mean))[:, :2].max()
+    assert err < 0.05, err

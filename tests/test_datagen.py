@@ -6,7 +6,7 @@ from mmd_tpu.datagen.generate import generate_context_trajectories
 from mmd_tpu.datagen.gpmp2 import GPMP2Config, gpmp2_optimize
 from mmd_tpu.datagen.host_collision import HostCollisionChecker
 from mmd_tpu.datagen.hybrid import smoothen_trajectory
-from mmd_tpu.datagen.rrt import IdentityPlanner, RRTConnect, RRTStar
+from mmd_tpu.datagen.rrt import IdentityPlanner, InfRRTStar, RRTConnect, RRTStar
 from mmd_tpu.envs.envs import make_env
 from mmd_tpu.tasks.task import make_task
 
@@ -88,3 +88,24 @@ def test_generate_context_conveyor():
                                           n_trajectories=4,
                                           gpmp_opt_iters=150)
     assert trajs.ndim == 3 and trajs.shape[1:] == (64, 4)
+
+
+def _path_len(p):
+    return float(np.linalg.norm(np.diff(p, axis=0), axis=-1).sum())
+
+
+def test_informed_rrt_star_refines_first_solution():
+    """InfRRTStar shares the RNG stream with RRTStar until the first
+    solution, then keeps refining inside the informed hyperspheroid — its
+    returned path is never longer (reference rrt_star.py:197, 273-276)."""
+    env = make_env("EnvHighways2D")
+    checker = HostCollisionChecker(env, 0.05)
+    args = (checker, np.array([-0.5, -0.5]), np.array([0.5, 0.5]))
+    base = RRTStar(*args, rng=np.random.default_rng(3), max_time=30.0,
+                   n_iters=4000)
+    inf = InfRRTStar(*args, rng=np.random.default_rng(3), max_time=30.0,
+                     n_iters=4000)
+    p_base, p_inf = base.optimize(), inf.optimize()
+    assert p_base is not None and p_inf is not None
+    assert not checker.in_collision(p_inf).any()
+    assert _path_len(p_inf) <= _path_len(p_base) + 1e-6

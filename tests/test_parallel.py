@@ -118,3 +118,27 @@ def test_graft_dryrun_multichip_8():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_nd_mesh_factorization_and_sharding():
+    from jax.sharding import PartitionSpec as P
+
+    from mmd_tpu.parallel.sharding import _factor_mesh, shard_axes
+
+    assert _factor_mesh(8, 2) in ((2, 4), (4, 2))
+    assert _factor_mesh(8, 3) == (2, 2, 2)
+    assert _factor_mesh(6, 2) in ((2, 3), (3, 2))
+    assert _factor_mesh(7, 2) == (1, 7) or _factor_mesh(7, 2) == (7, 1)
+
+    mesh = make_mesh(8, axis_names=("agent", "dp"))
+    assert mesh.devices.size == 8 and len(mesh.axis_names) == 2
+    x = jnp.zeros((mesh.devices.shape[0] * 2, mesh.devices.shape[1] * 4, 3))
+    xs = shard_axes(x, mesh, P("agent", "dp"))
+    assert xs.sharding.spec == P("agent", "dp")
+    # A jitted reduction over the 2-D-sharded array runs and is correct.
+    assert float(jax.jit(lambda a: a.sum())(xs)) == 0.0
+
+    mesh_exp = make_mesh([4, 2], axis_names=("agent", "dp"))
+    assert mesh_exp.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh([4, 4], axis_names=("agent", "dp"))  # 16 > 8 devices
