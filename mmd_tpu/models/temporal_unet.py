@@ -125,6 +125,44 @@ class PreNormResidual(nn.Module):
         return x + self.fn(nn.LayerNorm()(x))
 
 
+class CrossAttention(nn.Module):
+    """Multi-head cross-attention of the temporal features onto a context
+    sequence (layers_attention.py:86-148 CrossAttention inside
+    SpatialTransformer:151) — used by conditioning_type='attention'."""
+
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x, context):  # x: (B, H, C), context: (B, T, E)
+        B, H, C = x.shape
+        hidden = self.heads * self.dim_head
+        q = nn.Dense(hidden, use_bias=False)(x)
+        k = nn.Dense(hidden, use_bias=False)(context)
+        v = nn.Dense(hidden, use_bias=False)(context)
+
+        def heads(t):
+            return t.reshape(*t.shape[:2], self.heads,
+                             self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)          # (B, h, ., d)
+        att = jax.nn.softmax(
+            jnp.einsum("bhnd,bhmd->bhnm", q, k) / math.sqrt(self.dim_head),
+            axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", att, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, H, hidden)
+        return nn.Dense(C)(out)
+
+
+class ContextCrossBlock(nn.Module):
+    """PreNorm residual cross-attention (attention conditioning spots,
+    temporal_unet.py:152-170)."""
+
+    @nn.compact
+    def __call__(self, x, context):
+        return x + CrossAttention()(nn.LayerNorm()(x), context)
+
+
 class Downsample1d(nn.Module):
     """Stride-2 conv (layers.py:261-267)."""
 
@@ -146,21 +184,55 @@ class Upsample1d(nn.Module):
 
 
 class TemporalUnet(nn.Module):
-    """Denoiser: (B, H, D), (B,) timestep -> (B, H, D) epsilon prediction."""
+    """Denoiser: (B, H, D), (B,) timestep -> (B, H, D) epsilon prediction.
+
+    Context conditioning modes (reference temporal_unet.py:44-62, 121-152;
+    the MMD pipeline uses None — start/goal enter via inpainting):
+      None          — unconditional (default)
+      'concatenate' — context tiled over the horizon and concatenated to
+                      the (optionally MLP-embedded) state channels
+      'attention'   — cross-attention onto the (B, E) context at every
+                      resolution, after the self-attention spot
+      'default'     — context concatenated to the time embedding
+    """
 
     state_dim: int = 4
     unet_input_dim: int = 32
     dim_mults: Tuple[int, ...] = (1, 2, 4)
     time_emb_dim: int = 32
     self_attention: bool = False  # temporal_unet.py:82-92 optional attention
+    conditioning_type: str = ""   # "", 'concatenate', 'attention', 'default'
+    conditioning_embed_dim: int = 32
 
     @nn.compact
-    def __call__(self, x, time):
-        dims = [self.state_dim] + [self.unet_input_dim * m for m in self.dim_mults]
+    def __call__(self, x, time, context=None):
+        cond = self.conditioning_type or ""
+        if cond:
+            assert context is not None, f"mode {cond!r} requires context"
+        c = TimeEncoder(32, self.time_emb_dim)(time)
+
+        if cond == "concatenate":
+            # Embed the state when the context embedding dwarfs it
+            # (temporal_unet.py:47-55).
+            if self.state_dim < self.conditioning_embed_dim // 4:
+                e = self.conditioning_embed_dim // 4
+                h = nn.Dense(e // 2)(x)
+                x_emb = nn.Dense(e)(mish(h))
+            else:
+                x_emb = x
+            ctx = jnp.broadcast_to(context[:, None, :],
+                                   (x.shape[0], x.shape[1], context.shape[-1]))
+            x = jnp.concatenate([x_emb, ctx], axis=-1)
+        elif cond == "attention":
+            ctx3 = context[:, None, :]                  # (B, 1, E)
+        elif cond == "default":
+            c = jnp.concatenate([c, context], axis=-1)
+        elif cond:
+            raise NotImplementedError(cond)
+
+        dims = [x.shape[-1]] + [self.unet_input_dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))
         n_res = len(in_out)
-
-        c = TimeEncoder(32, self.time_emb_dim)(time)
 
         h_stack = []
         for ind, (_, dim_out) in enumerate(in_out):
@@ -169,6 +241,8 @@ class TemporalUnet(nn.Module):
             x = ResidualTemporalBlock(dim_out)(x, c)
             if self.self_attention:
                 x = PreNormResidual(LinearAttention())(x)
+            if cond == "attention":
+                x = ContextCrossBlock()(x, ctx3)
             h_stack.append(x)
             if not is_last:
                 x = Downsample1d(dim_out)(x)
@@ -177,6 +251,8 @@ class TemporalUnet(nn.Module):
         x = ResidualTemporalBlock(mid_dim)(x, c)
         if self.self_attention:
             x = PreNormResidual(LinearAttention())(x)
+        if cond == "attention":
+            x = ContextCrossBlock()(x, ctx3)
         x = ResidualTemporalBlock(mid_dim)(x, c)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out[1:])):
@@ -185,6 +261,8 @@ class TemporalUnet(nn.Module):
             x = ResidualTemporalBlock(dim_in)(x, c)
             if self.self_attention:
                 x = PreNormResidual(LinearAttention())(x)
+            if cond == "attention":
+                x = ContextCrossBlock()(x, ctx3)
             x = Upsample1d(dim_in)(x)
 
         x = Conv1dBlock(self.unet_input_dim)(x)
@@ -192,11 +270,16 @@ class TemporalUnet(nn.Module):
 
 
 def init_unet(key, horizon: int = 64, state_dim: int = 4,
-              unet_input_dim: int = 32, dim_mults: Tuple[int, ...] = (1, 2, 4)):
+              unet_input_dim: int = 32, dim_mults: Tuple[int, ...] = (1, 2, 4),
+              conditioning_type: str = "", context_dim: int = 0, **kw):
     """Initialize a TemporalUnet; returns (module, params)."""
     model = TemporalUnet(state_dim=state_dim, unet_input_dim=unet_input_dim,
-                         dim_mults=dim_mults)
-    params = model.init(key, jnp.zeros((2, horizon, state_dim)), jnp.zeros((2,), jnp.int32))
+                         dim_mults=dim_mults,
+                         conditioning_type=conditioning_type, **kw)
+    args = [jnp.zeros((2, horizon, state_dim)), jnp.zeros((2,), jnp.int32)]
+    if conditioning_type:
+        args.append(jnp.zeros((2, context_dim)))
+    params = model.init(key, *args)
     return model, params
 
 
