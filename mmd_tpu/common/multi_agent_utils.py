@@ -128,18 +128,20 @@ def get_start_goal_pos_random_in_env(num_agents: int, task: PlanningTask,
     from mmd_tpu.envs.grid_sdf import grid_sdf
 
     def sample_set():
+        # Batch the obstacle check: draw all candidates up front and clear
+        # them against the SDF in ONE device call (a per-sample call costs a
+        # full host<->device round trip on the tunneled TPU), then do the
+        # cheap mutual-separation filtering on host.
+        cand = (rng.random((max_tries, 2)).astype(np.float32) * 1.9 - 0.95)
+        clear = np.asarray(grid_sdf(task.scene.grid, jnp.asarray(cand))
+                           ) > obstacle_margin
         pts: List[np.ndarray] = []
-        tries = 0
-        while len(pts) < num_agents:
-            tries += 1
-            if tries > max_tries:
-                raise RuntimeError("could not sample valid multi-agent states")
-            q = (rng.random(2).astype(np.float32) * 1.9 - 0.95)
-            if float(grid_sdf(task.scene.grid, jnp.asarray(q)[None])[0]) <= obstacle_margin:
-                continue
+        for q in cand[clear]:
             if pts and np.min(np.linalg.norm(np.stack(pts) - q, axis=-1)) <= margin:
                 continue
             pts.append(q)
-        return pts
+            if len(pts) == num_agents:
+                return pts
+        raise RuntimeError("could not sample valid multi-agent states")
 
     return sample_set(), sample_set()

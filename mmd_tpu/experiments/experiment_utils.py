@@ -90,9 +90,13 @@ def combine_and_save_results_for_experiment(
 
     out_dir = get_result_dir_from_time_str(cfg.time_str, root)
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "analyzed_results.pkl"), "wb") as f:
+    # Suffix with the instance so multi-instance sweeps sharing one
+    # time_str dir don't overwrite each other's aggregates.
+    stem = (f"analyzed_results__{cfg.instance_name}" if cfg.instance_name
+            else "analyzed_results")
+    with open(os.path.join(out_dir, f"{stem}.pkl"), "wb") as f:
         pickle.dump(analyzed, f)
-    with open(os.path.join(out_dir, "analyzed_results.txt"), "w") as f:
+    with open(os.path.join(out_dir, f"{stem}.txt"), "w") as f:
         for num_agents, per_planner in analyzed.items():
             for planner_cls, metrics in per_planner.items():
                 f.write(f"num_agents={num_agents} planner={planner_cls}: {metrics}\n")

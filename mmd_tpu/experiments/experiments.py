@@ -10,6 +10,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import pickle
+import zlib
 from pathlib import Path
 from typing import List, Optional
 
@@ -59,8 +60,13 @@ class MultiAgentPlanningExperimentConfig:
 
         configs = []
         for num_agents in self.num_agents_l:
-            problems = [get_planning_problem(self.instance_name, num_agents)
-                        for _ in range(self.num_trials_per_combination)]
+            # Deterministic per-(instance, agents, trial) seeds so a resumed
+            # sweep regenerates identical problems and the paired design
+            # (same starts/goals across planners per trial) survives restarts.
+            base = zlib.crc32(f"{self.instance_name}:{num_agents}".encode())
+            problems = [get_planning_problem(self.instance_name, num_agents,
+                                             seed=base + t)
+                        for t in range(self.num_trials_per_combination)]
             for planner_cls in self.multi_agent_planner_class_l:
                 for trial_number in range(self.num_trials_per_combination):
                     c = MultiAgentPlanningSingleTrialConfig(

@@ -7,6 +7,7 @@ multi-tile instances with their skeleton option tables.
 """
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -26,9 +27,16 @@ def _single_tile(mid: str, num_agents: int, starts, goals) -> Problem:
     return starts, goals, [[mid]], [[[0, 0]]] * num_agents
 
 
+@functools.lru_cache(maxsize=None)
+def _cached_task(env_name: str):
+    # Task construction builds the env SDF grid (~seconds of device work);
+    # problem generation calls it once per trial config, so cache per env.
+    return make_task(env_name)
+
+
 def _random_in_env(env_name: str, num_agents: int, margin=0.15,
                    obstacle_margin=0.16, seed: Optional[int] = None):
-    task = make_task(env_name)
+    task = _cached_task(env_name)
     rng = np.random.default_rng(seed)
     return get_start_goal_pos_random_in_env(num_agents, task, rng=rng,
                                             margin=margin,

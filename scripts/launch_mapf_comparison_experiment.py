@@ -32,11 +32,15 @@ def main():
                     default=["XECBS", "ECBS", "PP", "CBS", "XCBS"])
     ap.add_argument("--trials", type=int, default=10)
     ap.add_argument("--runtime_limit", type=float, default=180.0)
+    ap.add_argument("--time_str", default=None,
+                    help="Reuse an existing results/<time_str> dir to resume "
+                         "an interrupted sweep (done trials are skipped).")
     args = ap.parse_args()
 
+    time_str = args.time_str or time.strftime("%y-%m-%d--%H-%M-%S")
     for instance in args.instances:
         cfg = MultiAgentPlanningExperimentConfig(
-            time_str=time.strftime("%y-%m-%d--%H-%M-%S"),
+            time_str=time_str,
             instance_name=instance,
             num_agents_l=args.num_agents,
             multi_agent_planner_class_l=args.planners,

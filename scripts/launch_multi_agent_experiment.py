@@ -15,16 +15,31 @@ from mmd_tpu.utils.cache import enable_persistent_cache
 enable_persistent_cache()
 
 from mmd_tpu.experiments.experiment_utils import combine_and_save_results_for_experiment
-from mmd_tpu.experiments.experiments import MultiAgentPlanningExperimentConfig
+from mmd_tpu.experiments.experiments import (
+    MultiAgentPlanningExperimentConfig,
+    get_result_dir_from_trial_config,
+)
 from mmd_tpu.experiments.trial import run_multi_agent_trial
 
 
 def run_multi_agent_experiment(cfg: MultiAgentPlanningExperimentConfig,
                                results_root: str = "./results"):
     """Sequential trial loop with per-trial error capture
-    (reference: launch_multi_agent_experiment.py:31-58)."""
+    (reference: launch_multi_agent_experiment.py:31-58).
+
+    Resumable: trials whose results.pkl already exists under the experiment's
+    time_str directory are skipped, so an interrupted sweep can be relaunched
+    with the same time_str and continue where it stopped.
+    """
     cfg.save(results_root)
     for trial_cfg in cfg.get_single_trial_configs_from_experiment_config():
+        done_marker = os.path.join(
+            get_result_dir_from_trial_config(trial_cfg, cfg.time_str,
+                                             trial_cfg.trial_number,
+                                             root=results_root),
+            "results.pkl")
+        if os.path.exists(done_marker):
+            continue
         try:
             result = run_multi_agent_trial(trial_cfg, results_root=results_root)
             print(f"[{trial_cfg.multi_agent_planner_class} "

@@ -29,11 +29,14 @@ def main():
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--runtime_limit", type=float, default=240.0)
     ap.add_argument("--stagger_dt", type=int, default=10)
+    ap.add_argument("--time_str", default=None,
+                    help="Reuse results/<time_str> to resume (done trials skip).")
     args = ap.parse_args()
 
+    time_str = args.time_str or time.strftime("%y-%m-%d--%H-%M-%S")
     for instance in args.instances:
         cfg = MultiAgentPlanningExperimentConfig(
-            time_str=time.strftime("%y-%m-%d--%H-%M-%S"),
+            time_str=time_str,
             instance_name=instance,
             num_agents_l=args.num_agents,
             multi_agent_planner_class_l=args.planners,
