@@ -74,15 +74,31 @@ def plan_sequential_root_soft(apply_fn, params, schedule, hard_team: HardConds,
         sel_pos, planned = carry                     # (A, H, 2), (A,)
         values, key, i = inp
         tmask = jnp.ones((A, H), jnp.float32).at[:, 0].set(0.0)
-        spc = SoftPathConstraints(points=sel_pos, mask=planned[:, None] * tmask,
-                                  radius=soft_radius, weight=soft_weight)
-        gd = GuideData(scene=scene, normalizer=normalizer,
-                       constraints=base_cset, soft_paths=spc)
         hard = HardConds(mask=hard_team.mask, values=values)
-        _, chain = guided_p_sample_loop(apply_fn, params, schedule, hard, key,
-                                        cfg, gd=gd, guide_cfg=guide_cfg)
-        res = _finalize_plan(chain, normalizer, scene, radius, q_min, q_max,
-                             savgol)
+        key_soft, key_free = jax.random.split(key)
+
+        def plan_with(spc_mask, k):
+            spc = SoftPathConstraints(points=sel_pos, mask=spc_mask,
+                                      radius=soft_radius, weight=soft_weight)
+            gd = GuideData(scene=scene, normalizer=normalizer,
+                           constraints=base_cset, soft_paths=spc)
+            _, chain = guided_p_sample_loop(apply_fn, params, schedule, hard,
+                                            k, cfg, gd=gd, guide_cfg=guide_cfg)
+            return _finalize_plan(chain, normalizer, scene, radius, q_min,
+                                  q_max, savgol)
+
+        res = plan_with(planned[:, None] * tmask, key_soft)
+        # Graceful degradation: in dense teams the accumulated soft
+        # constraints can leave an agent with ZERO obstacle-free samples —
+        # the reference aborts the whole trial there (cbs.py:326-330). A
+        # constraint-free replan for just that agent keeps the root viable
+        # (CBS-root semantics for this agent; conflicts are resolved by the
+        # CT search) and strictly dominates the reference's hard failure.
+        res = jax.lax.cond(
+            jnp.any(res.free_mask),
+            lambda _: res,
+            lambda _: plan_with(jnp.zeros((A, H), jnp.float32), key_free),
+            None)
         best = res.trajs_final[res.idx_best]          # least-cost free traj
         sel_pos = sel_pos.at[i].set(best[..., :q_dim])
         planned = planned.at[i].set(1.0)

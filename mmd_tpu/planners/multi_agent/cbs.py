@@ -357,6 +357,16 @@ class CBS:
                 out = self.low_level_planner_l[i](self.start_state_pos_l[i],
                                                   self.goal_state_pos_l[i],
                                                   constraints_l=soft_l)
+                if out.trajs_final_free_idxs.shape[0] == 0 and soft_l:
+                    # Soft constraints starved the batch of free samples —
+                    # degrade to a constraint-free replan for this agent
+                    # instead of the reference's whole-trial abort
+                    # (cbs.py:326-330); the CT search resolves the conflicts.
+                    self._log("Soft-constrained root starved; replanning "
+                              f"agent {i} unconstrained.")
+                    out = self.low_level_planner_l[i](
+                        self.start_state_pos_l[i], self.goal_state_pos_l[i],
+                        constraints_l=[])
                 if out.trajs_final_free_idxs.shape[0] == 0:
                     self._log("Failed to find valid paths in root CT node.")
                     status = TrialSuccessStatus.FAIL_NO_SOLUTION
@@ -527,11 +537,19 @@ class CBS:
             j = int(chosen_k[s])
             chosen = children[j]
             if chosen is None:
-                # No free child: both skipped (reference cbs.py:433-435);
-                # the device carry froze here too.
-                for c in children:
-                    if c is not None:
-                        self.open_l.append(c)
+                # Both children starved (the device carry froze here too).
+                # Under ECBS the likely cause is soft-constraint starvation:
+                # re-expand this node through the batched path, whose
+                # hard-only retry recovers the children. Otherwise both are
+                # skipped (reference cbs.py:433-435).
+                if self.is_ecbs:
+                    # (the greedy iteration's count stands in for this
+                    # expand() call's expansion)
+                    self.expand(parent)
+                else:
+                    for c in children:
+                        if c is not None:
+                            self.open_l.append(c)
                 break
             other = children[1 - j]
             # Greedy continuation stays best-first as long as the chosen
@@ -610,18 +628,34 @@ class CBS:
             mask=planners[0].hard_conds.mask,
             values=jnp.stack([p.hard_conds.values for p in planners]))
         keys = self._team_keys(len(agent_ids))
-        trajs, scalars = expand_children(
-            p0.model.apply, p0.params, p0.schedule, hard_c, cset_c, keys,
-            p0.cfg, p0.guide_cfg, p0.task.scene, p0.dataset.normalizer,
-            p0.robot.radius, p0.robot.q_min, p0.robot.q_max, p0._savgol,
-            state.paths_all, jnp.asarray(state.ix_best),
-            jnp.asarray(agent_ids), self.margin,
-            jnp.asarray(default_params.vertex_constraint_radius),
-            jnp.asarray(default_params.weight_grad_cost_soft_constraints),
-            use_soft=self.is_ecbs, local=self.is_xcbs,
-            n_noise=default_params.n_local_inference_noising_steps,
-            n_denoise=default_params.n_local_inference_denoising_steps)
-        any_free, ix, count, t, a, b, mid = jax.device_get(scalars)
+
+        def run_children(use_soft, keys_):
+            return expand_children(
+                p0.model.apply, p0.params, p0.schedule, hard_c, cset_c, keys_,
+                p0.cfg, p0.guide_cfg, p0.task.scene, p0.dataset.normalizer,
+                p0.robot.radius, p0.robot.q_min, p0.robot.q_max, p0._savgol,
+                state.paths_all, jnp.asarray(state.ix_best),
+                jnp.asarray(agent_ids), self.margin,
+                jnp.asarray(default_params.vertex_constraint_radius),
+                jnp.asarray(default_params.weight_grad_cost_soft_constraints),
+                use_soft=use_soft, local=self.is_xcbs,
+                n_noise=default_params.n_local_inference_noising_steps,
+                n_denoise=default_params.n_local_inference_denoising_steps)
+
+        trajs, scalars = run_children(self.is_ecbs, keys)
+        any_free, ix, count, t, a, b, mid = (
+            np.array(x) for x in jax.device_get(scalars))
+        if self.is_ecbs and not all(bool(f) for f in any_free):
+            # Soft-starved children: one more vmapped call with the soft
+            # constraints dropped replaces every starved child (the hard CT
+            # constraints are kept — see the plan() root fallback rationale).
+            trajs2, scalars2 = run_children(False, self._team_keys(len(agent_ids)))
+            any_free2, ix2, count2, t2, a2, b2, mid2 = jax.device_get(scalars2)
+            for i in range(len(agent_ids)):
+                if not bool(any_free[i]):
+                    any_free[i], ix[i], count[i] = any_free2[i], ix2[i], count2[i]
+                    t[i], a[i], b[i], mid[i] = t2[i], a2[i], b2[i], mid2[i]
+                    trajs = trajs.at[i].set(trajs2[i])
         for i, agent_id in enumerate(agent_ids):
             if not bool(any_free[i]):
                 self._log("Failed to find valid path in CT node.")
@@ -744,22 +778,33 @@ class CBS:
                 # team update in ONE device call (fused.py).
                 from mmd_tpu.planners.multi_agent.fused import (
                     expand_fresh, expand_local)
-                gd = planner._guide_data(*planner._pack(agent_constraint_l))
-                common = (planner.model.apply, planner.params, planner.schedule,
-                          planner.hard_conds, gd, planner._next_key(),
-                          planner.cfg, planner.guide_cfg, planner.task.scene,
-                          planner.robot.radius, planner.robot.q_min,
-                          planner.robot.q_max, planner._savgol,
-                          new_state.paths_all, jnp.asarray(new_state.ix_best),
-                          agent_id, self.margin)
-                if self.is_xcbs:
-                    new_paths, scalars = expand_local(
-                        *common,
-                        n_noise=default_params.n_local_inference_noising_steps,
-                        n_denoise=default_params.n_local_inference_denoising_steps)
-                else:
-                    new_paths, scalars = expand_fresh(*common)
+
+                def run_once(cons_l):
+                    gd = planner._guide_data(*planner._pack(cons_l))
+                    common = (planner.model.apply, planner.params,
+                              planner.schedule, planner.hard_conds, gd,
+                              planner._next_key(), planner.cfg,
+                              planner.guide_cfg, planner.task.scene,
+                              planner.robot.radius, planner.robot.q_min,
+                              planner.robot.q_max, planner._savgol,
+                              new_state.paths_all,
+                              jnp.asarray(new_state.ix_best),
+                              agent_id, self.margin)
+                    if self.is_xcbs:
+                        return expand_local(
+                            *common,
+                            n_noise=default_params.n_local_inference_noising_steps,
+                            n_denoise=default_params.n_local_inference_denoising_steps)
+                    return expand_fresh(*common)
+
+                new_paths, scalars = run_once(agent_constraint_l)
                 any_free, ix, count, t, a, b, mid = jax.device_get(scalars)
+                if not bool(any_free) and self.is_ecbs:
+                    # Soft constraints starved the batch: retry with the
+                    # hard CT constraints only (see plan() root fallback).
+                    hard_only = _plannable(new_state.constraints[agent_id])
+                    new_paths, scalars = run_once(hard_only)
+                    any_free, ix, count, t, a, b, mid = jax.device_get(scalars)
                 if not bool(any_free):
                     self._log("Failed to find valid path in CT node.")
                     continue
@@ -782,24 +827,32 @@ class CBS:
                     *planner._route_constraints(agent_constraint_l))
                 L = state.paths_all.shape[2]
                 T_out = max(self.start_time_l) + L
-                new_paths, scalars = expand_child_ensemble(
-                    planner.model.apply, planner.stacked_params,
-                    planner.schedule, planner.hard_conds, planner.cc, gds,
-                    planner._next_key(), planner.cfg, planner.guide_cfg,
-                    jnp.asarray(planner.transforms),
-                    planner.task.stacked_scenes, planner.robot.radius,
-                    planner.robot.q_min, planner.robot.q_max,
-                    planner._savgol, new_state.paths_all,
-                    jnp.asarray(new_state.ix_best, jnp.int32), agent_id,
-                    jnp.asarray(self.start_time_l, jnp.int32), self.margin,
-                    jnp.asarray(default_params.vertex_constraint_radius),
-                    jnp.asarray(default_params.weight_grad_cost_soft_constraints),
-                    n_tiles=planner.n_tiles, use_soft=self.is_ecbs,
-                    local=self.is_xcbs,
-                    n_noise=default_params.n_local_inference_noising_steps,
-                    n_denoise=default_params.n_local_inference_denoising_steps,
-                    T_out=T_out)
+
+                def run_once_ens(use_soft):
+                    return expand_child_ensemble(
+                        planner.model.apply, planner.stacked_params,
+                        planner.schedule, planner.hard_conds, planner.cc, gds,
+                        planner._next_key(), planner.cfg, planner.guide_cfg,
+                        jnp.asarray(planner.transforms),
+                        planner.task.stacked_scenes, planner.robot.radius,
+                        planner.robot.q_min, planner.robot.q_max,
+                        planner._savgol, new_state.paths_all,
+                        jnp.asarray(new_state.ix_best, jnp.int32), agent_id,
+                        jnp.asarray(self.start_time_l, jnp.int32), self.margin,
+                        jnp.asarray(default_params.vertex_constraint_radius),
+                        jnp.asarray(default_params.weight_grad_cost_soft_constraints),
+                        n_tiles=planner.n_tiles, use_soft=use_soft,
+                        local=self.is_xcbs,
+                        n_noise=default_params.n_local_inference_noising_steps,
+                        n_denoise=default_params.n_local_inference_denoising_steps,
+                        T_out=T_out)
+
+                new_paths, scalars = run_once_ens(self.is_ecbs)
                 any_free, ix, count, t, a, b, mid = jax.device_get(scalars)
+                if not bool(any_free) and self.is_ecbs:
+                    # Soft-starved batch: retry hard-constraints-only.
+                    new_paths, scalars = run_once_ens(False)
+                    any_free, ix, count, t, a, b, mid = jax.device_get(scalars)
                 if not bool(any_free):
                     self._log("Failed to find valid path in CT node.")
                     continue
@@ -814,6 +867,10 @@ class CBS:
             experience = (PathBatchExperience(new_state.paths_all[agent_id])
                           if self.is_xcbs else None)
             res = planner._run(agent_constraint_l, experience)  # device call 1
+            if self.is_ecbs and not bool(jnp.any(res.free_mask)):
+                # Soft-starved batch: retry hard-constraints-only.
+                res = planner._run(
+                    _plannable(new_state.constraints[agent_id]), experience)
 
             best = global_pad_paths(new_state.best_paths(), self.start_time_l)
             max_t = best[0].shape[0]

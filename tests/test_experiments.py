@@ -143,3 +143,62 @@ def test_run_multi_agent_trial_end_to_end(tiny_registry, tmp_path):
         for root, _, files in os.walk(tmp_path):
             found_png.extend(f for f in files if f.endswith(".png"))
         assert found_png
+
+
+def test_experiment_resume_skips_done_trials(tmp_path, monkeypatch):
+    """Interrupted sweeps relaunched with the same time_str must skip trials
+    whose results.pkl exists and run only the missing ones."""
+    import scripts.launch_multi_agent_experiment as lma
+
+    cfg = MultiAgentPlanningExperimentConfig(
+        time_str="resume-test", instance_name="EnvEmpty2DRobotPlanarDiskCircle",
+        num_agents_l=[2], multi_agent_planner_class_l=["PP"],
+        num_trials_per_combination=3)
+
+    ran = []
+
+    def fake_trial(tc, results_root="./results", **kw):
+        ran.append(tc.trial_number)
+        r = MultiAgentPlanningSingleTrialResult(
+            trial_config=tc, success_status=TrialSuccessStatus.SUCCESS,
+            planning_time=1.0, data_adherence=1.0)
+        d = get_result_dir_from_trial_config(tc, tc.time_str, tc.trial_number,
+                                             root=results_root)
+        r.save(d)
+        return r
+
+    monkeypatch.setattr(lma, "run_multi_agent_trial", fake_trial)
+    lma.run_multi_agent_experiment(cfg, results_root=str(tmp_path))
+    assert ran == [0, 1, 2]
+
+    ran.clear()
+    # Remove one trial's result; a resumed run must redo exactly that one.
+    tc = MultiAgentPlanningSingleTrialConfig(
+        time_str="resume-test", num_agents=2, multi_agent_planner_class="PP",
+        instance_name="EnvEmpty2DRobotPlanarDiskCircle")
+    os.remove(os.path.join(get_result_dir_from_trial_config(
+        tc, "resume-test", 1, root=str(tmp_path)), "results.pkl"))
+    lma.run_multi_agent_experiment(cfg, results_root=str(tmp_path))
+    assert ran == [1]
+
+
+def test_experiment_problem_seeds_deterministic():
+    """The same experiment config must regenerate identical start/goal sets
+    across invocations (paired design survives resume)."""
+    cfg = MultiAgentPlanningExperimentConfig(
+        time_str="x", instance_name="EnvEmpty2DRobotPlanarDiskRandom",
+        num_agents_l=[3], multi_agent_planner_class_l=["PP", "CBS"],
+        num_trials_per_combination=2)
+    a = cfg.get_single_trial_configs_from_experiment_config()
+    b = cfg.get_single_trial_configs_from_experiment_config()
+    assert len(a) == 4  # 2 planners x 2 trials
+    for ca, cb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(ca.start_state_pos_l),
+                                   np.asarray(cb.start_state_pos_l))
+    # Across planners within a trial number: identical problems (paired).
+    pp0, pp1, cbs0, cbs1 = a
+    np.testing.assert_allclose(np.asarray(pp0.start_state_pos_l),
+                               np.asarray(cbs0.start_state_pos_l))
+    # Across trial numbers: different problems.
+    assert not np.allclose(np.asarray(pp0.start_state_pos_l),
+                           np.asarray(pp1.start_state_pos_l))
