@@ -152,7 +152,13 @@ def run_multi_agent_trial(cfg: MultiAgentPlanningSingleTrialConfig,
         agent_transforms_l.append(transforms)
         planners.append(build_agent_planner(registry, mids, transforms,
                                             start_l[i], goal_l[i],
-                                            seed=default_params.seed + i,
+                                            # Vary the sampler stream per
+                                            # trial: on deterministic problem
+                                            # generators (circle/boundary)
+                                            # fixed keys would make every
+                                            # trial an identical replica.
+                                            seed=(default_params.seed + i
+                                                  + 1009 * cfg.trial_number),
                                             cfg=diffusion_cfg))
 
     # Reference task/robot spanning all tiles (reference :163-190).
