@@ -193,6 +193,11 @@ def team_soft_paths(pos: np.ndarray, radius: float,
 
 def _batchable(planners: List) -> bool:
     p0 = planners[0]
+    # Only single-tile MPD planners share the (params, schedule, task)
+    # layout these batched programs assume; MPDEnsemble exposes
+    # stacked_params and takes the host/fused-ensemble paths instead.
+    if any(not hasattr(p, "params") for p in planners):
+        return False
     for p in planners[1:]:
         if (p.params is not p0.params or p.schedule is not p0.schedule
                 or p.cfg != p0.cfg or p.guide_cfg != p0.guide_cfg

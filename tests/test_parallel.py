@@ -142,3 +142,14 @@ def test_nd_mesh_factorization_and_sharding():
     assert mesh_exp.devices.shape == (4, 2)
     with pytest.raises(ValueError):
         make_mesh([4, 4], axis_names=("agent", "dp"))  # 16 > 8 devices
+
+
+def test_batchable_rejects_ensemble_planners():
+    """Uniform-time ECBS roots must fall back to the host loop for
+    MPDEnsemble planners (no .params attribute) instead of crashing."""
+    from mmd_tpu.parallel.team import _batchable
+
+    class FakeEnsemble:
+        stacked_params = object()
+
+    assert _batchable([FakeEnsemble(), FakeEnsemble()]) is False
