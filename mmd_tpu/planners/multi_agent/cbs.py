@@ -414,27 +414,36 @@ class CBS:
 
     # ------------------------------------------------------ greedy search
     GREEDY_ITERS = 8
-    GREEDY_KBUF = 16
+    # Constraint-buffer sizes for the fused greedy program. Adaptive: the
+    # small buffer keeps shallow searches (the common case, incl. the
+    # 10-robot bench) on the cheapest compiled variant; deep searches on
+    # dense maps (dozens of constraints per agent) pick the large buffer
+    # instead of dropping off the fused path entirely.
+    GREEDY_KBUFS = (16, 48)
 
-    def _greedy_eligible(self, state: SearchState) -> bool:
+    def _greedy_kbuf(self, state: SearchState) -> Optional[int]:
+        """Smallest eligible constraint buffer for this node, or None."""
         from mmd_tpu.parallel.team import _batchable
         from mmd_tpu.planners.single_agent.mpd import MPD
 
         if not (self.uniform_time and self._densify == 1
                 and self.choose_path_strategy == "least_collisions"
                 and isinstance(state.first_conflict, PointConflict)):
-            return False
+            return None
         if not all(isinstance(p, MPD) for p in self.low_level_planner_l):
-            return False
+            return None
         if not _batchable(self.low_level_planner_l):
-            return False
+            return None
+        max_cons = 0
         for cons_l in state.constraints.values():
-            if len(cons_l) + 1 > self.GREEDY_KBUF:
-                return False
+            max_cons = max(max_cons, len(cons_l))
             if any(not isinstance(c, MultiPointConstraint) or len(c.q_l) != 1
                    or c.is_soft for c in cons_l):
-                return False
-        return True
+                return None
+        for kbuf in self.GREEDY_KBUFS:
+            if max_cons + 1 <= kbuf:
+                return kbuf
+        return None
 
     def _expand_greedy(self, state: SearchState) -> int:
         """k speculative best-first expansions in ONE device call
@@ -446,7 +455,8 @@ class CBS:
         open node), so the search explores exactly the nodes host-driven
         CBS would. Returns the number of accepted expansions (0 = caller
         falls back to the one-node expansion path)."""
-        if not self._greedy_eligible(state):
+        K = self._greedy_kbuf(state)
+        if K is None:
             return 0
         from mmd_tpu.models.diffusion import HardConds
         from mmd_tpu.planners.multi_agent.fused import greedy_expand
@@ -454,7 +464,6 @@ class CBS:
         planners = self.low_level_planner_l
         p0 = planners[0]
         A = self.num_agents
-        K = self.GREEDY_KBUF
         k_iters = self.GREEDY_ITERS
         H_all = state.paths_all.shape[2]
 
