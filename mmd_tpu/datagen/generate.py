@@ -100,7 +100,7 @@ def generate_context_trajectories(env_name: str, rng: np.random.Generator,
 
 def generate_dataset(env_name: str, n_contexts: int = 100,
                      n_trajectories_per_context: int = 20,
-                     horizon: int = 64, seed: int = 0,
+                     horizon: int = 64, duration: float = 5.0, seed: int = 0,
                      gpmp_opt_iters: int = 300,
                      verbose: bool = True) -> TrajectoryDataset:
     """Full dataset for one environment (reference scale: 500 contexts x 20,
@@ -112,7 +112,8 @@ def generate_dataset(env_name: str, n_contexts: int = 100,
         try:
             trajs = generate_context_trajectories(
                 env_name, rng, n_trajectories=n_trajectories_per_context,
-                horizon=horizon, gpmp_opt_iters=gpmp_opt_iters)
+                horizon=horizon, duration=duration,
+                gpmp_opt_iters=gpmp_opt_iters)
         except RuntimeError:
             continue
         if len(trajs):
@@ -123,4 +124,5 @@ def generate_dataset(env_name: str, n_contexts: int = 100,
                   f"{n} free trajs ({time.time() - t0:.0f}s)")
     if not all_trajs:
         raise RuntimeError(f"no free trajectories generated for {env_name}")
-    return TrajectoryDataset(np.concatenate(all_trajs), env_name)
+    return TrajectoryDataset(np.concatenate(all_trajs), env_name,
+                             duration=duration)

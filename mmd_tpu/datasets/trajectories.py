@@ -38,9 +38,14 @@ class TrajectoryDataset:
     """Holds collision-free trajectories for one (env, robot) pair."""
 
     def __init__(self, trajs: np.ndarray, env_name: str,
-                 robot: Optional[DiskRobot] = None):
+                 robot: Optional[DiskRobot] = None,
+                 duration: float = 5.0):
         assert trajs.ndim == 3, trajs.shape
         self.env_name = env_name
+        # Physical trajectory duration in seconds. The reference fixes 5.0 s
+        # over H=64 (mmd_params.py:34, dt=5/64); longer-horizon variants
+        # (e.g. H=128) keep dt constant by scaling duration with H.
+        self.duration = float(duration)
         self.robot = robot or DiskRobot.make()
         self.task = PlanningTask(make_env(env_name), self.robot)
         self.trajs = jnp.asarray(trajs, jnp.float32)          # (N, H, D)
@@ -102,6 +107,7 @@ class TrajectoryDataset:
                             "robot_id": "RobotPlanarDisk",
                             "num_trajectories": int(self.n_trajs),
                             "horizon": int(self.n_support_points),
+                            "duration": float(self.duration),
                             "state_dim": int(self.state_dim)}, f)
 
     @staticmethod
@@ -110,4 +116,5 @@ class TrajectoryDataset:
         with open(os.path.join(d, "metadata.yaml")) as f:
             meta = yaml.safe_load(f)
         trajs = np.load(os.path.join(d, "trajs-free.npz"))["trajs"]
-        return TrajectoryDataset(trajs, meta["env_id"])
+        return TrajectoryDataset(trajs, meta["env_id"],
+                                 duration=meta.get("duration", 5.0))

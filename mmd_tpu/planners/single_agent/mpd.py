@@ -160,7 +160,8 @@ class MPD:
             n_guide_steps=default_params.n_guide_steps,
         )
         self.guide_cfg = guide_cfg or GuideConfig(
-            dt=default_params.trajectory_duration / H,
+            dt=getattr(dataset, "duration",
+                       default_params.trajectory_duration) / H,
             robot_radius=self.robot.radius,
         )
         self.start_state_pos = jnp.asarray(start_state_pos)

@@ -167,7 +167,8 @@ class MPDEnsemble:
                                       * schedule.n_steps)),
             n_guide_steps=default_params.n_guide_steps)
         self.guide_cfg = guide_cfg or GuideConfig(
-            dt=default_params.trajectory_duration / H,
+            dt=getattr(datasets[0], "duration",
+                       default_params.trajectory_duration) / H,
             robot_radius=self.robot.radius)
 
         self.start_state_pos = np.asarray(start_state_pos, np.float32)
