@@ -60,6 +60,7 @@ def combine_and_save_results_for_experiment(
                 "fail_rate_no_solution": 0.0,
                 "fail_rate_collision_agents": 0.0,
                 "avg_num_collisions_in_solution": 0.0,
+                "avg_collisions_all_trials": 0.0,
                 "avg_ct_expansions": 0.0,
                 "avg_data_adherence": 0.0,
                 "avg_planning_time": 0.0,
@@ -78,8 +79,16 @@ def combine_and_save_results_for_experiment(
                         t.success_status == TrialSuccessStatus.FAIL_NO_SOLUTION) / n
                     d["fail_rate_collision_agents"] += (
                         t.success_status == TrialSuccessStatus.FAIL_COLLISION_AGENTS) / n
-                    d["avg_num_collisions_in_solution"] += t.num_collisions_in_solution / n
+                    # Extension beyond the reference: residual collisions
+                    # averaged over ALL trials (incl. failures) — how close
+                    # failed searches got. The reference-named metric below
+                    # is success-conditioned like the reference's.
+                    d["avg_collisions_all_trials"] += t.num_collisions_in_solution / n
                 if t.success_status == TrialSuccessStatus.SUCCESS and n_success:
+                    # Success-conditioned, matching the reference exactly
+                    # (experiment_utils.py:137-148; ~0 by construction).
+                    d["avg_num_collisions_in_solution"] += \
+                        t.num_collisions_in_solution / n_success
                     d["avg_ct_expansions"] += t.num_ct_expansions / n_success
                     d["avg_data_adherence"] += t.data_adherence / n_success
                     d["avg_planning_time"] += t.planning_time / n_success

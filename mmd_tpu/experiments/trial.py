@@ -124,6 +124,23 @@ def make_team_planner(planner_class: str, low_level_planner_l, start_l, goal_l,
                is_ecbs=flags[0], is_xcbs=flags[1], **kwargs)
 
 
+def audit_solution_collisions(paths_l: List[np.ndarray],
+                              robot_radius: float) -> int:
+    """Post-hoc solution audit: number of unordered (pair, t) contacts
+    closer than 2*radius (reference: inference_multi_agent.py:286-296).
+
+    ONE device call via the batched team summary — the reference's dense
+    host-side (n, n, T) pairwise tensor stops scaling past a few dozen
+    agents; here only a scalar crosses the host boundary.
+    """
+    from mmd_tpu.planners.multi_agent.conflict_detection import (
+        team_conflict_summary,
+    )
+    arr = jnp.asarray(np.stack([np.asarray(p)[:, :2] for p in paths_l]))
+    count, *_ = team_conflict_summary(arr, 2.0 * robot_radius)
+    return int(count) // 2  # ordered -> unordered pairs
+
+
 def run_multi_agent_trial(cfg: MultiAgentPlanningSingleTrialConfig,
                           registry: Optional[ModelRegistry] = None,
                           results_root: str = "./results",
@@ -197,16 +214,9 @@ def run_multi_agent_trial(cfg: MultiAgentPlanningSingleTrialConfig,
     )
 
     # Post-hoc audit: any pair within 2r flips success (reference :286-296).
-    # Device-side via the batched collision tensor — the dense (n, n, T)
-    # host tensor this replaces stops scaling past a few dozen agents.
     if len(paths_l) > 0 and status == TrialSuccessStatus.SUCCESS:
-        from mmd_tpu.planners.multi_agent.conflict_detection import (
-            team_collision_tensor,
-        )
-        arr = jnp.asarray(np.stack([np.asarray(p)[:, :2] for p in paths_l]))
-        coll, _ = team_collision_tensor(
-            arr, 2.0 * default_params.robot_planar_disk_radius)
-        n_audit = int(jnp.sum(coll)) // 2  # symmetric -> unordered pairs
+        n_audit = audit_solution_collisions(
+            paths_l, default_params.robot_planar_disk_radius)
         if n_audit > 0:
             result.num_collisions_in_solution += n_audit
             result.success_status = TrialSuccessStatus.FAIL_COLLISION_AGENTS

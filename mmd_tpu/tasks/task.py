@@ -138,11 +138,17 @@ class PlanningTask:
     def random_coll_free_q(self, key: jax.Array, n_samples: int = 1,
                            max_tries: int = 8) -> jax.Array:
         """Sample n collision-free configurations (host-assembled)."""
+        # Candidate batch scales with the request (rounded to a multiple of
+        # 1024 to bound the number of compiled variants) so large draws —
+        # e.g. 10k-context dataset generation — finish within max_tries
+        # even on mostly-occupied maps.
+        n_candidates = 1024 * max(1, -(-2 * n_samples // 1024))
         out = []
         for i in range(max_tries):
             key, sub = jax.random.split(key)
             qs, free = _sample_coll_free(self.scene, sub, self.robot.radius,
-                                         self.robot.q_min, self.robot.q_max)
+                                         self.robot.q_min, self.robot.q_max,
+                                         n_candidates=n_candidates)
             qs = np.asarray(qs)[np.asarray(free)]
             out.extend(qs[: n_samples - len(out)])
             if len(out) >= n_samples:

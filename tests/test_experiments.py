@@ -56,6 +56,7 @@ def test_result_save_and_aggregate(tmp_path):
             success_status=(TrialSuccessStatus.SUCCESS if trial == 0
                             else TrialSuccessStatus.FAIL_RUNTIME_LIMIT),
             planning_time=2.0, data_adherence=1.0, num_ct_expansions=4,
+            num_collisions_in_solution=(0 if trial == 0 else 6),
             path_length_per_agent=1.5, mean_path_acceleration_per_agent=0.1)
         d = get_result_dir_from_trial_config(tc, "test-run", trial,
                                              root=str(tmp_path))
@@ -68,6 +69,34 @@ def test_result_save_and_aggregate(tmp_path):
     assert m["fail_rate_runtime_limit"] == 0.5
     assert m["avg_planning_time"] == 2.0  # normalized over successful trials
     assert m["avg_ct_expansions"] == 4.0
+    # Success-conditioned like the reference (experiment_utils.py:137-148):
+    # the failed trial's 6 residual collisions don't enter this metric...
+    assert m["avg_num_collisions_in_solution"] == 0.0
+    # ...but do enter the all-trials extension metric.
+    assert m["avg_collisions_all_trials"] == 3.0
+
+
+def test_audit_solution_collisions_n50():
+    """Device-side post-hoc audit at n=50 agents: exact pair counting on a
+    constructed team where only known pairs ever touch."""
+    from mmd_tpu.experiments.trial import audit_solution_collisions
+
+    radius, T = 0.05, 12
+    # 50 agents parked on a wide grid (spacing 1 >> 2r): zero contacts.
+    base = np.stack(np.meshgrid(np.arange(10.0), np.arange(5.0)),
+                    axis=-1).reshape(50, 1, 2)
+    paths = np.repeat(base, T, axis=1).astype(np.float32)
+    paths = np.concatenate([paths, np.zeros_like(paths)], axis=-1)
+    paths_l = list(paths)
+    assert audit_solution_collisions(paths_l, radius) == 0
+
+    # Drive agents 3 and 4 into contact for exactly 2 timesteps, and agents
+    # 10/11 for 1 timestep: 3 unordered (pair, t) contacts total.
+    paths_l[3] = paths_l[3].copy()
+    paths_l[3][5:7, :2] = paths_l[4][5:7, :2] + 0.5 * radius
+    paths_l[10] = paths_l[10].copy()
+    paths_l[10][0, :2] = paths_l[11][0, :2]
+    assert audit_solution_collisions(paths_l, radius) == 3
 
 
 def test_launcher_local_and_dry_run(tmp_path):
