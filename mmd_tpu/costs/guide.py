@@ -69,6 +69,14 @@ class GuideConfig:
     # Guide only on the env's extra objects (reference
     # use_guide_on_extra_objects_only, mmd_params.py:32, mpd.py:215-221).
     use_extra_objects_only: bool = False
+    # Optional cost-zoo terms (costs/zoo.py; reference
+    # cost_functions.py:332-745, reachable via env planner-param hooks,
+    # env_base.py:266-276). Zero weights compile to nothing.
+    weight_max_velocity: float = 0.0
+    max_velocity: float = 0.0
+    weight_chomp_smoothness: float = 0.0
+    weight_joint_limits: float = 0.0
+    joint_limit_eps: float = 0.05236  # np.deg2rad(3), cost_functions.py:585
 
     @property
     def collision_margin(self) -> float:
@@ -143,6 +151,23 @@ def guide_gradient(x_norm: jax.Array, gd: GuideData, cfg: GuideConfig) -> jax.Ar
     total = cfg.weight_collision * _finish(g_obj, cfg.max_grad_norm)
     total = total + cfg.weight_collision * _finish(g_bound, cfg.max_grad_norm)
     total = total + cfg.weight_smoothness * _finish(g_gp, cfg.max_grad_norm)
+
+    if cfg.weight_max_velocity > 0.0:
+        from mmd_tpu.costs.zoo import cost_max_velocity
+        g = jax.grad(lambda v: cost_max_velocity(
+            v, cfg.dt, cfg.max_velocity, cfg.q_dim).sum())(u)
+        total = total + cfg.weight_max_velocity * _finish(g, cfg.max_grad_norm)
+    if cfg.weight_chomp_smoothness > 0.0:
+        from mmd_tpu.costs.zoo import cost_smoothness_chomp
+        g = jax.grad(lambda v: cost_smoothness_chomp(v, cfg.dt).sum())(u)
+        total = total + cfg.weight_chomp_smoothness * _finish(g, cfg.max_grad_norm)
+    if cfg.weight_joint_limits > 0.0:
+        from mmd_tpu.costs.zoo import cost_joint_limits
+        lo = gd.normalizer.mins[: cfg.q_dim]
+        hi = gd.normalizer.maxs[: cfg.q_dim]
+        g = jax.grad(lambda v: cost_joint_limits(
+            v, lo, hi, cfg.joint_limit_eps, cfg.q_dim).sum())(u)
+        total = total + cfg.weight_joint_limits * _finish(g, cfg.max_grad_norm)
 
     cset = gd.constraints
     if cset.max_constraints > 0:

@@ -152,3 +152,114 @@ def test_gp_prior_sampling_statistics():
     # Sample mean tracks the const-vel mean.
     err = np.abs(np.asarray(trajs.mean(0)) - np.asarray(mean))[:, :2].max()
     assert err < 0.05, err
+
+
+# ------------------------------------------------------------- cost zoo
+def test_cost_max_velocity_hand_computed():
+    from mmd_tpu.costs.zoo import cost_max_velocity
+
+    dt, vmax = 0.5, 1.0
+    pos = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [3.0, 0.0]],
+                   np.float32)
+    traj = np.concatenate([pos, np.zeros_like(pos)], -1)[None]
+    c = np.asarray(cost_max_velocity(jnp.asarray(traj), dt, vmax))
+    # central diff: borders zero-padded -> vel (0,0), interior (2,0).
+    # per-waypoint cost = sum_d (vel_d - 1)^2.
+    expect = np.array([[2.0, 1.0 + 1.0, 1.0 + 1.0, 2.0]])
+    np.testing.assert_allclose(c, expect, atol=1e-6)
+
+
+def test_cost_smoothness_chomp_matches_bruteforce():
+    from mmd_tpu.costs.zoo import chomp_precision, cost_smoothness_chomp
+
+    rng = np.random.default_rng(0)
+    dt, H = 0.1, 8
+    trajs = rng.normal(size=(3, H, 4)).astype(np.float32)
+    got = np.asarray(cost_smoothness_chomp(jnp.asarray(trajs), dt))
+    # Brute force: build the backward-difference operator explicitly
+    # (chomp.py:82-101) and sum x_d^T K^T K x_d over state dims.
+    K = np.eye(H) - np.diag(np.ones(H - 1), -1)
+    K = np.concatenate([K, np.zeros((1, H))], 0)
+    K[-1, -1] = -1.0
+    K = K / dt**2
+    R = K.T @ K
+    np.testing.assert_allclose(R, chomp_precision(H, dt), rtol=1e-6)
+    expect = np.einsum("btd,ts,bsd->b", trajs, R, trajs)
+    np.testing.assert_allclose(got, expect, rtol=2e-4)
+    # Straight constant-velocity interior rows are annihilated by the
+    # second-difference structure except the boundary rows.
+    const = np.tile(np.array([[1.0, 2.0, 0, 0]], np.float32), (H, 1))[None]
+    interior = np.asarray(cost_smoothness_chomp(jnp.asarray(const), dt))
+    np.testing.assert_allclose(
+        interior, np.einsum("btd,ts,bsd->b", const, R, const), rtol=1e-5)
+
+
+def test_cost_joint_limits_hand_computed():
+    from mmd_tpu.costs.zoo import cost_joint_limits
+
+    q_min = jnp.array([-1.0, -1.0])
+    q_max = jnp.array([1.0, 1.0])
+    eps = 0.1
+    inside = np.zeros((1, 5, 4), np.float32)
+    np.testing.assert_allclose(
+        np.asarray(cost_joint_limits(jnp.asarray(inside), q_min, q_max, eps)),
+        [0.0])
+    # One waypoint 0.05 past the shrunk upper limit in x, one 0.2 past the
+    # shrunk lower limit in y: cost = 0.05^2 + 0.2^2.
+    viol = np.zeros((1, 5, 4), np.float32)
+    viol[0, 1, 0] = 0.95   # > 1 - 0.1 by 0.05
+    viol[0, 3, 1] = -1.1   # < -1 + 0.1 by 0.2
+    np.testing.assert_allclose(
+        np.asarray(cost_joint_limits(jnp.asarray(viol), q_min, q_max, eps)),
+        [0.05**2 + 0.2**2], atol=1e-7)
+
+
+def test_cost_goal_prior_hand_computed():
+    from mmd_tpu.costs.zoo import cost_goal_prior
+
+    traj = np.zeros((2, 4, 4), np.float32)
+    traj[1, -1] = [1.0, 2.0, 0.0, 0.0]
+    goal = jnp.array([1.0, 0.0, 0.0, 0.0])
+    got = np.asarray(cost_goal_prior(jnp.asarray(traj), goal, sigma=2.0))
+    # err0 = goal - 0 -> |err|^2 = 1; err1 = (0,-2,0,0) -> 4; / sigma^2 = 4.
+    np.testing.assert_allclose(got, [1.0 / 4.0, 4.0 / 4.0], atol=1e-6)
+
+
+def test_cost_velocity_direction_alignment():
+    from mmd_tpu.costs.zoo import cost_velocity_direction_alignment
+
+    H, dt = 6, 0.5
+    pos = np.stack([np.arange(H, dtype=np.float32),
+                    np.zeros(H, np.float32)], -1)
+    vel = np.tile(np.array([[1.0, 0.0]], np.float32), (H, 1))
+    aligned = np.concatenate([pos, vel], -1)[None]
+    # Interior waypoints contribute dot=1 (borders: zero-padded velocity).
+    got = float(cost_velocity_direction_alignment(jnp.asarray(aligned), dt)[0])
+    np.testing.assert_allclose(got, H - 2, atol=1e-4)
+    # Anti-aligned state velocity flips the sign.
+    anti = np.concatenate([pos, -vel], -1)[None]
+    got2 = float(cost_velocity_direction_alignment(jnp.asarray(anti), dt)[0])
+    np.testing.assert_allclose(got2, -(H - 2), atol=1e-4)
+
+
+def test_guide_gradient_with_zoo_costs():
+    """Nonzero zoo weights change the guide gradient; endpoints stay zero;
+    the joint-limit term pushes out-of-box waypoints inward."""
+    from mmd_tpu.costs.guide import GuideConfig, GuideData, guide_gradient
+
+    env = make_env("EnvEmpty2D")
+    norm = LimitsNormalizer.from_limits([-1, -1, -2, -2], [1, 1, 2, 2])
+    gd = GuideData(scene=env.scene, normalizer=norm,
+                   constraints=empty_constraint_set(4, 1))
+    x = jnp.zeros((2, 8, 4)).at[0, 4, 0].set(0.999)  # near +x limit
+    base_cfg = GuideConfig(dt=0.1)
+    zoo_cfg = GuideConfig(dt=0.1, weight_joint_limits=1.0,
+                          joint_limit_eps=0.2, weight_max_velocity=0.1,
+                          max_velocity=0.5, weight_chomp_smoothness=1e-4)
+    g0 = guide_gradient(x, gd, base_cfg)
+    g1 = guide_gradient(x, gd, zoo_cfg)
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))
+    np.testing.assert_allclose(np.asarray(g1[:, 0]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g1[:, -1]), 0.0, atol=1e-7)
+    # guide returns -grad: the limit violation at waypoint 4 must push -x.
+    assert float(g1[0, 4, 0] - g0[0, 4, 0]) < 0.0
