@@ -224,9 +224,12 @@ def run_multi_agent_trial(cfg: MultiAgentPlanningSingleTrialConfig,
     if result.success_status == TrialSuccessStatus.SUCCESS:
         # Data adherence per agent, averaged over skeleton tiles
         # (reference :301-320).
-        H = default_params.horizon
         adh_total = 0.0
         for i in range(num_agents):
+            # Tile length from the agent's planner (supports long-horizon
+            # models, e.g. H=128 Conveyor, not just the H=64 default).
+            H = getattr(planners[i], "n_support_points",
+                        default_params.horizon)
             agent_adh = 0.0
             path = np.asarray(paths_l[i])
             for step, mid in enumerate(agent_model_ids_l[i]):

@@ -33,9 +33,12 @@ def main():
     ap.add_argument("--render_dir", default=None)
     ap.add_argument("--out_yaml", default=None,
                     help="append the aggregate row to this yaml file")
+    ap.add_argument("--models_dir", default="data_trained_models")
+    ap.add_argument("--data_dir", default="data_trajectories")
     args = ap.parse_args()
 
-    registry = ModelRegistry()
+    registry = ModelRegistry(trained_models_dir=args.models_dir,
+                             trajectories_dir=args.data_dir)
     mid = model_id(args.env)
     model, params, schedule, dataset = registry.get(mid)
     task = dataset.task

@@ -23,7 +23,8 @@ from mmd_tpu.experiments.trial import run_multi_agent_trial
 
 
 def run_multi_agent_experiment(cfg: MultiAgentPlanningExperimentConfig,
-                               results_root: str = "./results"):
+                               results_root: str = "./results",
+                               registry=None):
     """Sequential trial loop with per-trial error capture
     (reference: launch_multi_agent_experiment.py:31-58).
 
@@ -41,7 +42,8 @@ def run_multi_agent_experiment(cfg: MultiAgentPlanningExperimentConfig,
         if os.path.exists(done_marker):
             continue
         try:
-            result = run_multi_agent_trial(trial_cfg, results_root=results_root)
+            result = run_multi_agent_trial(trial_cfg, registry=registry,
+                                           results_root=results_root)
             print(f"[{trial_cfg.multi_agent_planner_class} "
                   f"n={trial_cfg.num_agents} trial={trial_cfg.trial_number}] "
                   f"{result.success_status} in {result.planning_time:.1f}s")
@@ -62,7 +64,14 @@ def main():
     ap.add_argument("--trials", type=int, default=10)
     ap.add_argument("--runtime_limit", type=float, default=180.0)
     ap.add_argument("--stagger_dt", type=int, default=0)
+    ap.add_argument("--models_dir", default="data_trained_models",
+                    help="alternate checkpoint root (e.g. the H=128 "
+                         "long-horizon models in data_trained_models_h128)")
+    ap.add_argument("--data_dir", default="data_trajectories")
     args = ap.parse_args()
+    from mmd_tpu.experiments.trial import ModelRegistry
+    registry = ModelRegistry(trained_models_dir=args.models_dir,
+                             trajectories_dir=args.data_dir)
 
     cfg = MultiAgentPlanningExperimentConfig(
         time_str=time.strftime("%y-%m-%d--%H-%M-%S"),
@@ -73,7 +82,7 @@ def main():
         runtime_limit=args.runtime_limit,
         stagger_start_time_dt=args.stagger_dt,
     )
-    analyzed = run_multi_agent_experiment(cfg)
+    analyzed = run_multi_agent_experiment(cfg, registry=registry)
     for n, per_planner in analyzed.items():
         for planner, metrics in per_planner.items():
             print(f"n={n} {planner}: success={metrics['success_rate']:.2f} "
