@@ -110,6 +110,13 @@ def main():
         "collision_free": bool(collision_free),
         "ct_expansions": int(n_exp),
     }
+    timing = getattr(team2, "timing", None)
+    if timing:
+        # device_s = blocking time on device results (compute + tunnel
+        # transfer); host_s = everything else (CT bookkeeping, dispatch).
+        result["device_s"] = round(timing["device_s"], 4)
+        result["host_s"] = round(wall - timing["device_s"], 4)
+        result["device_calls"] = int(timing["device_calls"])
     print(json.dumps(result))
 
 

@@ -111,6 +111,43 @@ def plan_sequential_root_soft(apply_fn, params, schedule, hard_team: HardConds,
     return trajs, free_any, idx_best, free_mask
 
 
+@functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "guide_cfg"))
+def _fresh_team_with_summary(apply_fn, params, schedule, hard_team, gd, keys,
+                             cfg, guide_cfg, scene, radius, q_min, q_max,
+                             savgol, margin):
+    """plan_fresh_team + the root node's conflict summary in ONE program
+    (saves the separate _summarize round trip over the TPU tunnel)."""
+    from mmd_tpu.planners.multi_agent.conflict_detection import (
+        team_conflict_summary,
+    )
+
+    res = plan_fresh_team(apply_fn, params, schedule, hard_team, gd, keys,
+                          cfg, guide_cfg, scene, radius, q_min, q_max, savgol)
+    A = res.trajs_final.shape[0]
+    pos = res.trajs_final[jnp.arange(A), res.idx_best][..., :2]
+    return res, team_conflict_summary(pos, margin)
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "guide_cfg"))
+def _sequential_root_with_summary(apply_fn, params, schedule, hard_team,
+                                  scene, normalizer, base_cset, keys, cfg,
+                                  guide_cfg, radius, q_min, q_max, savgol,
+                                  soft_radius, soft_weight, margin):
+    """plan_sequential_root_soft + conflict summary, one device call."""
+    from mmd_tpu.planners.multi_agent.conflict_detection import (
+        team_conflict_summary,
+    )
+
+    trajs, free_any, idx_best, free_mask = plan_sequential_root_soft(
+        apply_fn, params, schedule, hard_team, scene, normalizer, base_cset,
+        keys, cfg, guide_cfg, radius, q_min, q_max, savgol, soft_radius,
+        soft_weight)
+    A = trajs.shape[0]
+    pos = trajs[jnp.arange(A), idx_best][..., :2]
+    return (trajs, free_any, idx_best, free_mask,
+            team_conflict_summary(pos, margin))
+
+
 def stack_hard_conds(hard_l: List[HardConds]) -> HardConds:
     """Stack per-agent HardConds (shared mask) into one (A, H, D) pytree."""
     mask = hard_l[0].mask
@@ -191,6 +228,31 @@ def team_soft_paths(pos: np.ndarray, radius: float,
         radius=jnp.full((A,), radius), weight=jnp.full((A,), weight))
 
 
+def shard_team_inputs(mesh, hard_team: HardConds, keys: jax.Array):
+    """Shard the (A, ...) team inputs over the mesh's 'agent' axis.
+
+    The jitted team programs are written once; running them multi-chip is
+    a placement decision, not a rewrite: with `hard_team.values` and `keys`
+    sharded P('agent') (mask replicated), XLA compiles the same program
+    SPMD over the mesh and propagates the agent sharding through every
+    downstream batched call (roots, repair, summaries, fused expansions).
+    Returns the inputs unchanged when the mesh is None or the team size
+    does not divide the agent axis.
+    """
+    if mesh is None or "agent" not in mesh.axis_names:
+        return hard_team, keys
+    A = hard_team.values.shape[0]
+    if A % mesh.shape["agent"] != 0:
+        return hard_team, keys
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    agent = NamedSharding(mesh, P("agent"))
+    repl = NamedSharding(mesh, P())
+    hard_team = HardConds(mask=jax.device_put(hard_team.mask, repl),
+                          values=jax.device_put(hard_team.values, agent))
+    return hard_team, jax.device_put(keys, agent)
+
+
 def _batchable(planners: List) -> bool:
     p0 = planners[0]
     # Only single-tile MPD planners share the (params, schedule, task)
@@ -206,13 +268,18 @@ def _batchable(planners: List) -> bool:
     return True
 
 
-def plan_team_roots_device(planners: List, keys: Optional[jax.Array] = None):
+def plan_team_roots_device(planners: List, keys: Optional[jax.Array] = None,
+                           summary_margin: Optional[float] = None,
+                           mesh=None):
     """Batched CBS/XCBS root creation, device-resident results.
 
-    Returns (trajs_final (n, B, H, D), free_any (n,) bool, idx_best (n,))
-    or None when the planners are not batchable (mixed models/tasks) —
-    the caller falls back to the sequential path. Pass `keys` (n, 2) to
-    source all randomness from one split (one dispatch instead of n).
+    Returns (trajs_final (n, B, H, D), free_any (n,) bool, idx_best (n,),
+    free_mask (n, B)[, summary]) or None when the planners are not batchable
+    (mixed models/tasks) — the caller falls back to the sequential path.
+    Pass `keys` (n, 2) to source all randomness from one split (one dispatch
+    instead of n). With `summary_margin` set, the root node's conflict
+    summary (count, t, a, b, mid) is computed inside the same program —
+    no separate _summarize round trip.
     """
     if not _batchable(planners):
         return None
@@ -220,16 +287,22 @@ def plan_team_roots_device(planners: List, keys: Optional[jax.Array] = None):
     hard_team = stack_hard_conds([p.hard_conds for p in planners])
     if keys is None:
         keys = jnp.stack([p._next_key() for p in planners])
+    hard_team, keys = shard_team_inputs(mesh, hard_team, keys)
     gd = p0._guide_data(*p0._pack(None))
-    res = plan_fresh_team(p0.model.apply, p0.params, p0.schedule, hard_team,
-                          gd, keys, p0.cfg, p0.guide_cfg, p0.task.scene,
-                          p0.robot.radius, p0.robot.q_min, p0.robot.q_max,
-                          p0._savgol)
+    common = (p0.model.apply, p0.params, p0.schedule, hard_team, gd, keys,
+              p0.cfg, p0.guide_cfg, p0.task.scene, p0.robot.radius,
+              p0.robot.q_min, p0.robot.q_max, p0._savgol)
+    if summary_margin is not None:
+        res, summary = _fresh_team_with_summary(*common, summary_margin)
+        return (res.trajs_final, jnp.any(res.free_mask, axis=-1),
+                res.idx_best, res.free_mask, summary)
+    res = plan_fresh_team(*common)
     return res.trajs_final, jnp.any(res.free_mask, axis=-1), res.idx_best, res.free_mask
 
 
 def plan_team_roots_sequential_soft_device(planners: List,
-                                           keys: Optional[jax.Array] = None):
+                                           keys: Optional[jax.Array] = None,
+                                           summary_margin: Optional[float] = None):
     """ECBS sequential soft-constrained root, device-resident (one call).
 
     Same return contract as plan_team_roots_device; None when the planners
@@ -244,10 +317,12 @@ def plan_team_roots_sequential_soft_device(planners: List,
     if keys is None:
         keys = jnp.stack([p._next_key() for p in planners])
     base_cset, _ = p0._pack(None)
-    trajs, free_any, idx_best, free_mask = plan_sequential_root_soft(
-        p0.model.apply, p0.params, p0.schedule, hard_team, p0.task.scene,
-        p0.dataset.normalizer, base_cset, keys, p0.cfg, p0.guide_cfg,
-        p0.robot.radius, p0.robot.q_min, p0.robot.q_max, p0._savgol,
-        jnp.asarray(default_params.vertex_constraint_radius),
-        jnp.asarray(default_params.weight_grad_cost_soft_constraints))
-    return trajs, free_any, idx_best, free_mask
+    common = (p0.model.apply, p0.params, p0.schedule, hard_team,
+              p0.task.scene, p0.dataset.normalizer, base_cset, keys, p0.cfg,
+              p0.guide_cfg, p0.robot.radius, p0.robot.q_min, p0.robot.q_max,
+              p0._savgol,
+              jnp.asarray(default_params.vertex_constraint_radius),
+              jnp.asarray(default_params.weight_grad_cost_soft_constraints))
+    if summary_margin is not None:
+        return _sequential_root_with_summary(*common, summary_margin)
+    return plan_sequential_root_soft(*common)

@@ -106,7 +106,8 @@ class CBS:
                  validate_start_goal: bool = True, verbose: bool = False,
                  root_repair_rounds: int = 0,
                  choose_path_strategy: Optional[str] = None,
-                 conflict_types: Tuple = (PointConflict,)):
+                 conflict_types: Tuple = (PointConflict,),
+                 mesh=None):
         self.low_level_planner_l = low_level_planner_l
         self.is_xcbs = is_xcbs
         self.is_ecbs = is_ecbs
@@ -150,6 +151,38 @@ class CBS:
                      else jax.random.PRNGKey(default_params.seed))
         self.open_l: List[SearchState] = []
         self._hard_all = None  # lazily stacked (A, H, D) team hard conds
+        # Multi-chip execution is a flag flip, not a rewrite: with a mesh
+        # whose 'agent' axis divides the team size, the team-batched root,
+        # Jacobi repair rounds, and (by sharding propagation) the fused
+        # expansions run SPMD over the mesh — XLA inserts the collectives
+        # at the pairwise conflict reductions. The host search loop is
+        # unchanged. Single-device behavior is the mesh=None default.
+        if mesh is not None:
+            if "agent" not in mesh.axis_names:
+                raise ValueError(f"mesh {mesh.axis_names} has no 'agent' axis")
+            if self.num_agents % mesh.shape["agent"] != 0:
+                raise ValueError(
+                    f"num_agents={self.num_agents} not divisible by the "
+                    f"mesh 'agent' axis ({mesh.shape['agent']})")
+        self.mesh = mesh
+        # Test/diagnostic hook: when set to a list, the greedy CT search
+        # appends one event per speculative step — ("step", parent_conflicts,
+        # open_list_min) before each accepted expansion, plus ("freeze",),
+        # ("starved",), and ("stop", chosen_conflicts, open_list_min)
+        # markers for its recovery/stop branches.
+        self.greedy_audit: Optional[list] = None
+        # Blocking device time (dispatch queue + compute + tunnel transfer)
+        # accumulated over plan(); host share = wall - device_s. Surfaced by
+        # bench.py so host-overhead regressions are visible per round.
+        self.timing = {"device_s": 0.0, "device_calls": 0}
+
+    def _fetch(self, tree):
+        """jax.device_get with blocking-time accounting."""
+        t0 = time.perf_counter()
+        out = jax.device_get(tree)
+        self.timing["device_s"] += time.perf_counter() - t0
+        self.timing["device_calls"] += 1
+        return out
 
     def _team_keys(self, n: int) -> jax.Array:
         keys = jax.random.split(self._key, n + 1)
@@ -194,7 +227,7 @@ class CBS:
                 densify_positions,
             )
             dense = densify_positions(pos, self._densify)
-            count, t, a, b, mid = jax.device_get(
+            count, t, a, b, mid = self._fetch(
                 team_conflict_summary(dense, self.margin))
             state.n_conflicts = int(count)
             state.first_conflict = (
@@ -202,7 +235,7 @@ class CBS:
                                         np.asarray(mid), np.asarray(pos))
                 if count else None)
             return
-        count, t, a, b, mid = jax.device_get(
+        count, t, a, b, mid = self._fetch(
             team_conflict_summary(pos, self.margin))
         state.n_conflicts = int(count)
         state.first_conflict = self._mk_conflict(t, a, b, mid) if count else None
@@ -312,6 +345,13 @@ class CBS:
         state = root = SearchState(None, [])
 
         # ---- root creation --------------------------------------------
+        # The root's conflict summary is computed INSIDE the root program
+        # when possible (uniform time, integral densification, no repair
+        # rounds — repair re-summarizes anyway): one device call and one
+        # tunnel round trip for root + summary instead of two.
+        fused_summary_margin = (
+            self.margin if (self.uniform_time and self._densify == 1
+                            and self.root_repair_rounds == 0) else None)
         path_tiles: List[jax.Array] = []
         if not self.is_ecbs or self.root_repair_rounds > 0:
             # CBS/XCBS roots are independent -> one vmapped device call.
@@ -319,7 +359,9 @@ class CBS:
             # for ECBS's sequential soft-constrained root.
             from mmd_tpu.parallel.team import plan_team_roots_device
             team = plan_team_roots_device(self.low_level_planner_l,
-                                          keys=self._team_keys(self.num_agents))
+                                          keys=self._team_keys(self.num_agents),
+                                          summary_margin=fused_summary_margin,
+                                          mesh=self.mesh)
         elif self.uniform_time:
             # ECBS sequential soft-constrained root as ONE device call
             # (lax.scan over agents; reference cbs.py:316-335 semantics).
@@ -327,16 +369,29 @@ class CBS:
                 plan_team_roots_sequential_soft_device,
             )
             team = plan_team_roots_sequential_soft_device(
-                self.low_level_planner_l, keys=self._team_keys(self.num_agents))
+                self.low_level_planner_l, keys=self._team_keys(self.num_agents),
+                summary_margin=fused_summary_margin)
         else:
             team = None
 
         if team is not None:
-            trajs_all, free_any, idx_best, free_mask_all = team
+            trajs_all, free_any, idx_best, free_mask_all = team[:4]
+            summary = team[4] if len(team) > 4 else None
+            if summary is not None:
+                free_any, idx_best, summary = self._fetch(
+                    (free_any, idx_best, summary))
+            else:
+                free_any, idx_best = self._fetch((free_any, idx_best))
             if not bool(free_any.all()):
                 status = TrialSuccessStatus.FAIL_NO_SOLUTION
             else:
                 root = SearchState(trajs_all, [int(i) for i in idx_best])
+                if summary is not None:
+                    count, t, a, b, mid = summary
+                    root.n_conflicts = int(count)
+                    root.first_conflict = (self._mk_conflict(t, a, b, mid)
+                                           if count else None)
+                    root.summarized = True
                 if self.root_repair_rounds > 0:
                     # Free coordination pass: re-select each agent's path
                     # among its ALREADY-SAMPLED 64 candidates to minimize
@@ -505,7 +560,7 @@ class CBS:
             k_iters=k_iters)
         trajs = outs[0]  # stays on device: (k, 2, B, H, D)
         (agents_k, free_k, ix_k, counts_k, t_k, a_k, b_k, mid_k, chosen_k,
-         valid_k) = jax.device_get(outs[1:])
+         valid_k) = self._fetch(outs[1:])
 
         accepted = 0
         parent = state
@@ -514,9 +569,17 @@ class CBS:
                 # Speculation stopped (device froze on overflow/solved); the
                 # current greedy node is unexpanded — return it to the open
                 # list for the host-driven paths.
+                if self.greedy_audit is not None:
+                    self.greedy_audit.append(("freeze",))
                 if parent is not state:
                     self.open_l.append(parent)
                 break
+            if self.greedy_audit is not None:
+                # Best-first invariant record: the node expanded this step
+                # must not be beaten by any node waiting in the open list.
+                self.greedy_audit.append((
+                    "step", parent.n_conflicts,
+                    min((n.n_conflicts for n in self.open_l), default=None)))
             t_pad = 2
             lo = int(np.clip(parent.first_conflict.t_from - t_pad, 0, H_all - 1))
             hi = int(np.clip(parent.first_conflict.t_to + t_pad, 0, H_all - 1))
@@ -546,6 +609,8 @@ class CBS:
             j = int(chosen_k[s])
             chosen = children[j]
             if chosen is None:
+                if self.greedy_audit is not None:
+                    self.greedy_audit.append(("starved",))
                 # Both children starved (the device carry froze here too).
                 # Under ECBS the likely cause is soft-constraint starvation:
                 # re-expand this node through the batched path, whose
@@ -572,6 +637,9 @@ class CBS:
                 default=None)
             if chosen.n_conflicts == 0 or (
                     min_open is not None and chosen.n_conflicts > min_open):
+                if self.greedy_audit is not None:
+                    self.greedy_audit.append(
+                        ("stop", chosen.n_conflicts, min_open))
                 # Stop descending: re-insert both children in expansion
                 # order so tie-breaking matches the host-driven search.
                 for c in children:
@@ -653,13 +721,13 @@ class CBS:
 
         trajs, scalars = run_children(self.is_ecbs, keys)
         any_free, ix, count, t, a, b, mid = (
-            np.array(x) for x in jax.device_get(scalars))
+            np.array(x) for x in self._fetch(scalars))
         if self.is_ecbs and not all(bool(f) for f in any_free):
             # Soft-starved children: one more vmapped call with the soft
             # constraints dropped replaces every starved child (the hard CT
             # constraints are kept — see the plan() root fallback rationale).
             trajs2, scalars2 = run_children(False, self._team_keys(len(agent_ids)))
-            any_free2, ix2, count2, t2, a2, b2, mid2 = jax.device_get(scalars2)
+            any_free2, ix2, count2, t2, a2, b2, mid2 = self._fetch(scalars2)
             for i in range(len(agent_ids)):
                 if not bool(any_free[i]):
                     any_free[i], ix[i], count[i] = any_free2[i], ix2[i], count2[i]
@@ -687,7 +755,7 @@ class CBS:
         decreases. ONE device call (conflict_detection.team_reselect)."""
         from mmd_tpu.planners.multi_agent.conflict_detection import team_reselect
 
-        ix, count, t, a, b, mid = jax.device_get(team_reselect(
+        ix, count, t, a, b, mid = self._fetch(team_reselect(
             root.paths_all[..., :2], jnp.asarray(root.ix_best), free_all,
             self.margin, sweeps=sweeps))
         state = SearchState(root.paths_all, [int(i) for i in ix],
@@ -720,6 +788,11 @@ class CBS:
                                     default_params.vertex_constraint_radius)
         hard_team = stack_hard_conds([p.hard_conds for p in planners])
         keys = self._team_keys(self.num_agents)
+        if self.mesh is not None:
+            from mmd_tpu.parallel.team import shard_team_inputs
+            hard_team, keys = shard_team_inputs(self.mesh, hard_team, keys)
+            from mmd_tpu.parallel.sharding import shard_leading_axis
+            soft_team = shard_leading_axis(soft_team, self.mesh, "agent")
         res = plan_fresh_team_soft(
             p0.model.apply, p0.params, p0.schedule, hard_team, p0.task.scene,
             p0.dataset.normalizer, empty_constraint_set(4, 1), soft_team, keys,
@@ -730,7 +803,7 @@ class CBS:
         # (conflict_detection.repair_accept).
         from mmd_tpu.planners.multi_agent.conflict_detection import repair_accept
 
-        accept, ix, count, t, a, b, mid = jax.device_get(repair_accept(
+        accept, ix, count, t, a, b, mid = self._fetch(repair_accept(
             res.trajs_final[..., :2], res.free_mask, prev_pos, self.margin))
         if free_all is None:
             free_all = jnp.ones(root.paths_all.shape[:2], bool)
@@ -807,13 +880,13 @@ class CBS:
                     return expand_fresh(*common)
 
                 new_paths, scalars = run_once(agent_constraint_l)
-                any_free, ix, count, t, a, b, mid = jax.device_get(scalars)
+                any_free, ix, count, t, a, b, mid = self._fetch(scalars)
                 if not bool(any_free) and self.is_ecbs:
                     # Soft constraints starved the batch: retry with the
                     # hard CT constraints only (see plan() root fallback).
                     hard_only = _plannable(new_state.constraints[agent_id])
                     new_paths, scalars = run_once(hard_only)
-                    any_free, ix, count, t, a, b, mid = jax.device_get(scalars)
+                    any_free, ix, count, t, a, b, mid = self._fetch(scalars)
                 if not bool(any_free):
                     self._log("Failed to find valid path in CT node.")
                     continue
@@ -857,11 +930,11 @@ class CBS:
                         T_out=T_out)
 
                 new_paths, scalars = run_once_ens(self.is_ecbs)
-                any_free, ix, count, t, a, b, mid = jax.device_get(scalars)
+                any_free, ix, count, t, a, b, mid = self._fetch(scalars)
                 if not bool(any_free) and self.is_ecbs:
                     # Soft-starved batch: retry hard-constraints-only.
                     new_paths, scalars = run_once_ens(False)
-                    any_free, ix, count, t, a, b, mid = jax.device_get(scalars)
+                    any_free, ix, count, t, a, b, mid = self._fetch(scalars)
                 if not bool(any_free):
                     self._log("Failed to find valid path in CT node.")
                     continue
@@ -890,16 +963,16 @@ class CBS:
             if self.choose_path_strategy == "least_cost":
                 # Reference alternative (cbs.py:436-441): keep the planner's
                 # least-cost best, then summarize conflicts for that choice.
-                ix, any_free = jax.device_get((res.idx_best,
-                                               jnp.any(res.free_mask)))
+                ix, any_free = self._fetch((res.idx_best,
+                                            jnp.any(res.free_mask)))
                 if not bool(any_free):
                     self._log("Failed to find valid path in CT node.")
                     continue
                 chosen = others_pos.at[agent_id].set(cand_pos[int(ix)])
-                count, t, a, b, mid = jax.device_get(
+                count, t, a, b, mid = self._fetch(
                     team_conflict_summary(chosen, self.margin))
             else:
-                ix, count, t, a, b, mid, any_free = jax.device_get(  # call 2
+                ix, count, t, a, b, mid, any_free = self._fetch(  # call 2
                     (*select_candidate_and_conflicts(
                         cand_pos, res.free_mask, agent_id, others_pos,
                         self.margin),

@@ -266,7 +266,40 @@ def greedy_expand(apply_fn, params, schedule, hard_all: HardConds, keys,
             (count0.astype(jnp.int32), t0.astype(jnp.int32),
              a0.astype(jnp.int32), b0.astype(jnp.int32), mid0),
             jnp.asarray(False))
-    _, outs = jax.lax.scan(body, init, keys, length=k_iters)
+    # Early-exit loop instead of lax.scan: once the carry freezes (node
+    # solved, both children starved, or constraint-buffer overflow) the
+    # remaining iterations would compute 2 full plans each and discard
+    # them — a while_loop skips that work entirely. Untouched output rows
+    # stay zero, so the host sees valid=False there exactly as it did with
+    # the frozen-carry scan.
+    B = paths_all.shape[1]
+    outs0 = (
+        jnp.zeros((k_iters, 2, B, H, paths_all.shape[3]), paths_all.dtype),
+        jnp.zeros((k_iters, 2), jnp.int32),      # agent ids
+        jnp.zeros((k_iters, 2), bool),           # any_free
+        jnp.zeros((k_iters, 2), jnp.int32),      # ix
+        jnp.zeros((k_iters, 2), jnp.int32),      # counts
+        jnp.zeros((k_iters, 2), jnp.int32),      # conflict t
+        jnp.zeros((k_iters, 2), jnp.int32),      # conflict a
+        jnp.zeros((k_iters, 2), jnp.int32),      # conflict b
+        jnp.zeros((k_iters, 2, 2), paths_all.dtype),  # conflict mid
+        jnp.zeros((k_iters,), jnp.int32),        # chosen child
+        jnp.zeros((k_iters,), bool),             # valid
+    )
+
+    def w_cond(state):
+        s, carry, _ = state
+        return (s < k_iters) & ~carry[-1]
+
+    def w_body(state):
+        s, carry, outs = state
+        carry2, out = body(carry, keys[s])
+        outs2 = jax.tree_util.tree_map(
+            lambda buf, o: buf.at[s].set(o), outs, tuple(out))
+        return s + 1, carry2, outs2
+
+    _, _, outs = jax.lax.while_loop(
+        w_cond, w_body, (jnp.asarray(0, jnp.int32), init, outs0))
     return outs
 
 

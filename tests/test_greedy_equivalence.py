@@ -1,0 +1,269 @@
+"""Equivalence + branch-coverage tests for the speculative greedy CT search.
+
+The greedy program (`cbs.py:_expand_greedy` + `fused.greedy_expand`) runs k
+best-first expansions in one device call and must preserve host-driven CBS
+semantics (reference: mmd/planners/multi_agent/cbs.py:365-466):
+
+1. fewest-conflicts-first order — every node the greedy path expands has a
+   conflict count <= the minimum over the open list at that moment (the
+   reference sorts on the count alone; insertion-order tie-breaks are not
+   semantic);
+2. identical solution quality on the same instance as a run with the greedy
+   path force-disabled (success + collision-free);
+3. the host-side recovery branches — speculation freeze (device `valid`
+   mask drops) and both-children-starved ECBS re-expansion — recover
+   without corrupting the search.
+
+The audit trail comes from `CBS.greedy_audit` (a test hook recording one
+event per speculative step / recovery branch).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmd_tpu.common.conflicts import EdgeConflict, PointConflict, VertexConflict
+from mmd_tpu.common.constraints import MultiPointConstraint
+from mmd_tpu.common.multi_agent_utils import get_start_goal_pos_circle
+from mmd_tpu.config import DiffusionConfig
+from mmd_tpu.datagen.synthetic import generate_linear_dataset
+from mmd_tpu.experiments.status import TrialSuccessStatus
+from mmd_tpu.planners.multi_agent import fused
+from mmd_tpu.planners.multi_agent.cbs import CBS, SearchState
+from mmd_tpu.planners.multi_agent.conflict_detection import count_conflicts
+from mmd_tpu.planners.single_agent.mpd import MPD
+from mmd_tpu.train.trainer import TrainConfig, train
+
+
+@pytest.fixture(scope="module")
+def trained_setup():
+    ds = generate_linear_dataset("EnvEmptyNoWait2D", n_contexts=128, seed=0)
+    cfg = TrainConfig(batch_size=64, n_diffusion_steps=8, lr=2e-3)
+    model, state, schedule, _ = train(ds, cfg, num_train_steps=400,
+                                      unet_dim=16, log_every=200,
+                                      log_fn=lambda m: None)
+    return ds, model, state, schedule
+
+
+def _planners(trained_setup, starts, goals, n_samples=16):
+    ds, model, state, schedule = trained_setup
+    dcfg = DiffusionConfig(horizon=64, n_samples=n_samples,
+                           n_diffusion_steps=8, t_start_guide=4,
+                           n_guide_steps=5, unet_dim=16)
+    return [MPD(model, state.ema_params, schedule, ds, jnp.asarray(s),
+                jnp.asarray(g), cfg=dcfg, seed=100 + i)
+            for i, (s, g) in enumerate(zip(starts, goals))]
+
+
+def _xecbs(trained_setup, n_agents=6, radius=0.3):
+    """A conflict-rich instance: n agents swapping antipodally through the
+    circle center (the bench instance shape, smaller radius => denser)."""
+    starts, goals = get_start_goal_pos_circle(n_agents, radius=radius)
+    planners = _planners(trained_setup, starts, goals)
+    return CBS(planners, starts, goals, is_ecbs=True, is_xcbs=True)
+
+
+def _assert_collision_free(cbs, paths, status, n_coll):
+    assert status == TrialSuccessStatus.SUCCESS
+    assert n_coll == 0
+    assert count_conflicts(paths, cbs.margin) == 0
+
+
+# --------------------------------------------------------------------------
+# 1+2. Seed-matched equivalence and the best-first invariant
+# --------------------------------------------------------------------------
+
+def test_greedy_matches_host_driven_search(trained_setup, monkeypatch):
+    """Same instance, greedy enabled vs force-disabled: identical solution
+    quality (success + collision-free), and every node the greedy path
+    expands respects fewest-conflicts-first order vs the live open list."""
+    monkeypatch.setattr(CBS, "GREEDY_ITERS", 3)  # shrink the CPU program
+
+    # Host-driven reference run: same construction (=> same per-planner
+    # PRNG streams), greedy gate forced off.
+    cbs_host = _xecbs(trained_setup)
+    monkeypatch.setattr(cbs_host, "_greedy_kbuf", lambda state: None)
+    paths_h, exp_h, status_h, coll_h = cbs_host.plan(runtime_limit=600)
+    _assert_collision_free(cbs_host, paths_h, status_h, coll_h)
+
+    # Greedy run with the audit trail on.
+    cbs_g = _xecbs(trained_setup)
+    cbs_g.greedy_audit = audit = []
+    paths_g, exp_g, status_g, coll_g = cbs_g.plan(runtime_limit=600)
+    _assert_collision_free(cbs_g, paths_g, status_g, coll_g)
+
+    steps = [e for e in audit if e[0] == "step"]
+    # The instance is dense enough that the greedy path actually ran.
+    assert exp_g > 0 and len(steps) > 0
+    # Best-first invariant: each expanded node is a minimum of the open list.
+    for _, n_conflicts, min_open in steps:
+        assert min_open is None or n_conflicts <= min_open, audit
+    # Greedy stop decisions only trigger when continuing would break the
+    # invariant (chosen strictly worse than an open node) or on a solution.
+    for e in audit:
+        if e[0] == "stop":
+            _, chosen, min_open = e
+            assert chosen == 0 or (min_open is not None and chosen > min_open)
+
+
+def test_greedy_large_constraint_buffer(trained_setup, monkeypatch):
+    """The K=48 compiled variant solves the same instance (the adaptive
+    buffer choice normally reserves it for deep searches)."""
+    monkeypatch.setattr(CBS, "GREEDY_ITERS", 3)
+    monkeypatch.setattr(CBS, "GREEDY_KBUFS", (48,))
+    cbs = _xecbs(trained_setup)
+    cbs.greedy_audit = audit = []
+    paths, n_exp, status, n_coll = cbs.plan(runtime_limit=600)
+    _assert_collision_free(cbs, paths, status, n_coll)
+    steps = [e for e in audit if e[0] == "step"]
+    assert steps, "greedy path never engaged; instance too easy"
+    for _, n_conflicts, min_open in steps:
+        assert min_open is None or n_conflicts <= min_open
+
+
+# --------------------------------------------------------------------------
+# 3. Buffer selection logic (host gate, no device work)
+# --------------------------------------------------------------------------
+
+def _gate_state(planners, n_cons, *, soft=False, n_points=1,
+                conflict=True):
+    state = SearchState(jnp.zeros((len(planners), 2, 64, 4)),
+                        [0] * len(planners))
+    state.n_conflicts = 1 if conflict else 0
+    if conflict:
+        state.first_conflict = PointConflict(
+            agent_ids=[0, 1], p_l=[np.zeros(2)] * 2, q_l=[np.zeros(2)] * 2,
+            t_from=3, t_to=3)
+    cons = [MultiPointConstraint(q_l=[np.zeros(2)] * n_points,
+                                 t_range_l=[(1, 2)] * n_points,
+                                 radius_l=[0.1] * n_points, is_soft=soft)
+            for _ in range(n_cons)]
+    if cons:
+        state.constraints[0] = cons
+    return state
+
+
+def test_greedy_kbuf_adaptive_selection(trained_setup):
+    starts, goals = get_start_goal_pos_circle(2)
+    planners = _planners(trained_setup, starts, goals)
+    cbs = CBS(planners, starts, goals, is_ecbs=True, is_xcbs=True)
+
+    # Small buffer while max_cons + 1 <= 16; large to 48; None past it.
+    assert cbs._greedy_kbuf(_gate_state(planners, 0)) == 16
+    assert cbs._greedy_kbuf(_gate_state(planners, 15)) == 16
+    assert cbs._greedy_kbuf(_gate_state(planners, 16)) == 48
+    assert cbs._greedy_kbuf(_gate_state(planners, 47)) == 48
+    assert cbs._greedy_kbuf(_gate_state(planners, 48)) is None
+
+    # Ineligible constraint shapes: soft or multi-point constraints.
+    assert cbs._greedy_kbuf(_gate_state(planners, 1, soft=True)) is None
+    assert cbs._greedy_kbuf(_gate_state(planners, 1, n_points=3)) is None
+
+    # Ineligible configurations fall back to the host-driven paths.
+    cbs.choose_path_strategy = "least_cost"
+    assert cbs._greedy_kbuf(_gate_state(planners, 0)) is None
+    cbs.choose_path_strategy = "least_collisions"
+    cbs.uniform_time = False
+    assert cbs._greedy_kbuf(_gate_state(planners, 0)) is None
+    cbs.uniform_time = True
+    cbs._densify = 2
+    assert cbs._greedy_kbuf(_gate_state(planners, 0)) is None
+    cbs._densify = 1
+    assert cbs._greedy_kbuf(_gate_state(planners, 0)) == 16
+
+    # Edge-conflict-typed searches never take the greedy path end to end.
+    cbs_edge = CBS(planners, starts, goals, is_ecbs=True, is_xcbs=True,
+                   conflict_types=(EdgeConflict, VertexConflict,
+                                   PointConflict))
+    assert cbs_edge._greedy_kbuf(_gate_state(planners, 0)) is None
+
+
+# --------------------------------------------------------------------------
+# 4. Recovery branches, driven deterministically by doctoring the device
+#    program's outputs (the host must recover from any (free, valid) mask).
+# --------------------------------------------------------------------------
+
+def _doctor_greedy(monkeypatch, mutate):
+    """Wrap fused.greedy_expand; `mutate(arrays, call_index)` edits the
+    host-visible scalar outputs (indices into outs[1:]: 0=agents, 1=free,
+    2=ix, 3=counts, 4..7=conflict scalars, 8=chosen, 9=valid)."""
+    real = fused.greedy_expand
+    calls = []
+
+    def wrapper(*args, **kwargs):
+        outs = real(*args, **kwargs)
+        arrays = [np.array(x) for x in jax.device_get(outs[1:])]
+        mutate(arrays, len(calls))
+        calls.append(1)
+        return (outs[0], *arrays)
+
+    monkeypatch.setattr(fused, "greedy_expand", wrapper)
+    return calls
+
+
+def test_greedy_immediate_freeze_falls_back(trained_setup, monkeypatch):
+    """valid[0]=False on the first call: zero accepted expansions, so the
+    caller must take the host-driven expand() path and still solve."""
+    monkeypatch.setattr(CBS, "GREEDY_ITERS", 3)
+
+    def mutate(arrays, call_idx):
+        if call_idx == 0:
+            arrays[9][:] = False
+
+    _doctor_greedy(monkeypatch, mutate)
+    cbs = _xecbs(trained_setup)
+    cbs.greedy_audit = audit = []
+    paths, n_exp, status, n_coll = cbs.plan(runtime_limit=600)
+    _assert_collision_free(cbs, paths, status, n_coll)
+    assert ("freeze",) in audit
+
+
+def test_greedy_mid_speculation_freeze_requeues_node(trained_setup,
+                                                     monkeypatch):
+    """valid[1:]=False: the step-0 child is accepted, then speculation
+    freezes; the unexpanded greedy node must return to the open list (not
+    be dropped) and the search must still finish collision-free."""
+    monkeypatch.setattr(CBS, "GREEDY_ITERS", 3)
+
+    def mutate(arrays, call_idx):
+        if call_idx == 0:
+            arrays[9][1:] = False
+
+    _doctor_greedy(monkeypatch, mutate)
+    cbs = _xecbs(trained_setup)
+    cbs.greedy_audit = audit = []
+    paths, n_exp, status, n_coll = cbs.plan(runtime_limit=600)
+    _assert_collision_free(cbs, paths, status, n_coll)
+    kinds = [e[0] for e in audit]
+    assert "step" in kinds and "freeze" in kinds
+    # The freeze followed at least one accepted step in the same call.
+    assert kinds.index("step") < kinds.index("freeze")
+
+
+def test_greedy_both_children_starved_ecbs_reexpands(trained_setup,
+                                                     monkeypatch):
+    """free[0,:]=False with valid[0]=True: both children starved. Under
+    ECBS the node must be re-expanded through the batched path (whose
+    hard-only retry recovers the children) — the search still succeeds."""
+    monkeypatch.setattr(CBS, "GREEDY_ITERS", 3)
+
+    def mutate(arrays, call_idx):
+        if call_idx == 0:
+            arrays[1][0, :] = False
+
+    _doctor_greedy(monkeypatch, mutate)
+    cbs = _xecbs(trained_setup)
+    cbs.greedy_audit = audit = []
+
+    expand_calls = []
+    real_expand = cbs.expand
+
+    def spy_expand(state):
+        expand_calls.append(state)
+        return real_expand(state)
+
+    monkeypatch.setattr(cbs, "expand", spy_expand)
+    paths, n_exp, status, n_coll = cbs.plan(runtime_limit=600)
+    _assert_collision_free(cbs, paths, status, n_coll)
+    assert ("starved",) in audit
+    assert expand_calls, "starved ECBS node was not re-expanded"
