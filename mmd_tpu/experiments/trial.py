@@ -145,9 +145,13 @@ def run_multi_agent_trial(cfg: MultiAgentPlanningSingleTrialConfig,
                           registry: Optional[ModelRegistry] = None,
                           results_root: str = "./results",
                           save: bool = True,
-                          diffusion_cfg: Optional[DiffusionConfig] = None
+                          diffusion_cfg: Optional[DiffusionConfig] = None,
+                          mesh=None
                           ) -> MultiAgentPlanningSingleTrialResult:
-    """reference: inference_multi_agent.py:81-366."""
+    """reference: inference_multi_agent.py:81-366.
+
+    `mesh`: optional jax.sharding.Mesh with an 'agent' axis — CBS-family
+    planners run team roots/repair SPMD over it (multi-chip flag flip)."""
     registry = registry or default_registry()
     num_agents = cfg.num_agents
     global_model_ids = cfg.global_model_ids
@@ -190,10 +194,12 @@ def run_multi_agent_trial(cfg: MultiAgentPlanningSingleTrialConfig,
     reference_robot = planners[0].robot
 
     start_time_l = [cfg.stagger_start_time_dt * i for i in range(num_agents)]
+    mesh_kw = ({"mesh": mesh} if mesh is not None
+               and cfg.multi_agent_planner_class != "PP" else {})
     team = make_team_planner(cfg.multi_agent_planner_class, planners,
                              start_l, goal_l, start_time_l=start_time_l,
                              reference_robot=reference_robot,
-                             reference_task=reference_task)
+                             reference_task=reference_task, **mesh_kw)
 
     t0 = time.time()
     paths_l, num_ct_expansions, status, n_coll = team.plan(
