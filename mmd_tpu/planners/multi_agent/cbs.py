@@ -344,6 +344,26 @@ class CBS:
         status = TrialSuccessStatus.UNKNOWN
         state = root = SearchState(None, [])
 
+        # ---- fused root+greedy fast path ------------------------------
+        # Root creation + conflict summary + k speculative greedy CT
+        # expansions in ONE device call (fused.root_greedy): easy instances
+        # complete the whole search in a single tunnel round trip.
+        num_expansions = 0
+        rg_handled = False
+        if self._root_greedy_eligible():
+            rg_root, n_rg = self._plan_root_greedy()
+            rg_handled = True
+            if rg_root is None:
+                status = TrialSuccessStatus.FAIL_NO_SOLUTION
+            else:
+                state = root = rg_root
+                num_expansions = n_rg
+                if n_rg == 0 or root.n_conflicts == 0:
+                    # Unexpanded (or already-solved) root: the search loop
+                    # pops it as usual; otherwise its children are already
+                    # in the open list.
+                    self.open_l.append(root)
+
         # ---- root creation --------------------------------------------
         # The root's conflict summary is computed INSIDE the root program
         # when possible (uniform time, integral densification, no repair
@@ -353,7 +373,10 @@ class CBS:
             self.margin if (self.uniform_time and self._densify == 1
                             and self.root_repair_rounds == 0) else None)
         path_tiles: List[jax.Array] = []
-        if not self.is_ecbs or self.root_repair_rounds > 0:
+        team = None
+        if rg_handled:
+            pass
+        elif not self.is_ecbs or self.root_repair_rounds > 0:
             # CBS/XCBS roots are independent -> one vmapped device call.
             # With repair rounds, the batched Jacobi soft re-plan substitutes
             # for ECBS's sequential soft-constrained root.
@@ -371,8 +394,6 @@ class CBS:
             team = plan_team_roots_sequential_soft_device(
                 self.low_level_planner_l, keys=self._team_keys(self.num_agents),
                 summary_margin=fused_summary_margin)
-        else:
-            team = None
 
         if team is not None:
             trajs_all, free_any, idx_best, free_mask_all = team[:4]
@@ -401,7 +422,7 @@ class CBS:
                     root, free_mask_all = self._repair_root(root, free_mask_all)
                 if self.root_repair_rounds > 0:
                     root = self._reselect_root(root, free_mask_all)
-        else:
+        elif not rg_handled:
             for i in range(self.num_agents):
                 partial = SearchState(
                     jnp.stack(path_tiles) if path_tiles else None,
@@ -434,8 +455,7 @@ class CBS:
             if status == TrialSuccessStatus.UNKNOWN:
                 root.paths_all = jnp.stack(path_tiles)
 
-        num_expansions = 0
-        if status == TrialSuccessStatus.UNKNOWN:
+        if status == TrialSuccessStatus.UNKNOWN and not rg_handled:
             if not root.summarized or self._densify > 1:
                 self._summarize(root)
             self.open_l.append(root)
@@ -500,6 +520,75 @@ class CBS:
                 return kbuf
         return None
 
+    def _root_greedy_eligible(self) -> bool:
+        """Gate for the fused root+greedy program: the per-node greedy gate
+        evaluated on a constraint-free probe (the root always has empty
+        constraint sets and point-typed conflicts), plus no repair rounds
+        (repair re-plans between root and search). Delegating to
+        `_greedy_kbuf` keeps the two gates — and any test override of the
+        greedy path — in lockstep."""
+        if self.root_repair_rounds > 0:
+            return False
+        probe = SearchState(None, [])
+        z = np.zeros(2)
+        probe.first_conflict = PointConflict(agent_ids=[0, 1], p_l=[z, z],
+                                             q_l=[z, z], t_from=0, t_to=0)
+        return self._greedy_kbuf(probe) is not None
+
+    def _plan_root_greedy(self):
+        """Fused root + summary + greedy descent (fused.root_greedy).
+
+        Returns (root SearchState | None on root failure, accepted
+        expansions). With accepted > 0, the root's greedy children are
+        already in the open list (`_process_greedy`)."""
+        from mmd_tpu.models.diffusion import HardConds
+        from mmd_tpu.planners.multi_agent.fused import root_greedy
+
+        planners = self.low_level_planner_l
+        p0 = planners[0]
+        k_iters = self.GREEDY_ITERS
+        if self._hard_all is None:
+            self._hard_all = HardConds(
+                mask=p0.hard_conds.mask,
+                values=jnp.stack([p.hard_conds.values for p in planners]))
+        hard_all = self._hard_all
+        keys_root = self._team_keys(self.num_agents)
+        if self.mesh is not None:
+            from mmd_tpu.parallel.team import shard_team_inputs
+            hard_all, keys_root = shard_team_inputs(self.mesh, hard_all,
+                                                    keys_root)
+        keys_greedy = self._team_keys(2 * k_iters).reshape(k_iters, 2, 2)
+        base_cset, _ = p0._pack(None)
+
+        team_out, summary, outs = root_greedy(
+            p0.model.apply, p0.params, p0.schedule, hard_all, base_cset,
+            keys_root, keys_greedy, p0.cfg, p0.guide_cfg, p0.task.scene,
+            p0.dataset.normalizer, p0.robot.radius, p0.robot.q_min,
+            p0.robot.q_max, p0._savgol, self.margin,
+            jnp.asarray(default_params.vertex_constraint_radius),
+            jnp.asarray(default_params.weight_grad_cost_constraints),
+            jnp.asarray(default_params.vertex_constraint_radius),
+            jnp.asarray(default_params.weight_grad_cost_soft_constraints),
+            kbuf=self.GREEDY_KBUFS[0], use_soft=self.is_ecbs,
+            local=self.is_xcbs,
+            n_noise=default_params.n_local_inference_noising_steps,
+            n_denoise=default_params.n_local_inference_denoising_steps,
+            k_iters=k_iters, sequential_root=self.is_ecbs)
+        trajs_all = team_out[0]                       # stays on device
+        free_any, idx_best, summary, scalars = self._fetch(
+            (team_out[1], team_out[2], summary, outs[1:]))
+        if not bool(np.asarray(free_any).all()):
+            return None, 0
+        root = SearchState(trajs_all, [int(i) for i in idx_best])
+        count, t, a, b, mid = summary
+        root.n_conflicts = int(count)
+        root.first_conflict = (self._mk_conflict(t, a, b, mid)
+                               if count else None)
+        root.summarized = True
+        if root.n_conflicts == 0:
+            return root, 0
+        return root, self._process_greedy(root, outs[0], scalars)
+
     def _expand_greedy(self, state: SearchState) -> int:
         """k speculative best-first expansions in ONE device call
         (fused.greedy_expand), validated against the open list.
@@ -559,8 +648,17 @@ class CBS:
             n_denoise=default_params.n_local_inference_denoising_steps,
             k_iters=k_iters)
         trajs = outs[0]  # stays on device: (k, 2, B, H, D)
+        return self._process_greedy(state, trajs, self._fetch(outs[1:]))
+
+    def _process_greedy(self, state: SearchState, trajs,
+                        scalars) -> int:
+        """Validate one fused greedy run's records against the open list and
+        materialize the accepted expansions (shared by `_expand_greedy` and
+        the fused root+greedy path)."""
         (agents_k, free_k, ix_k, counts_k, t_k, a_k, b_k, mid_k, chosen_k,
-         valid_k) = self._fetch(outs[1:])
+         valid_k) = scalars
+        k_iters = len(valid_k)
+        H_all = state.paths_all.shape[2]
 
         accepted = 0
         parent = state

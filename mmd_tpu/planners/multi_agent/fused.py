@@ -135,17 +135,14 @@ def _cset_from_rows(q_rows: jax.Array, t_rows: jax.Array, n: jax.Array,
     )
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "apply_fn", "cfg", "guide_cfg", "use_soft", "local", "n_noise",
-    "n_denoise", "k_iters", "t_pad"))
-def greedy_expand(apply_fn, params, schedule, hard_all: HardConds, keys,
-                  cfg: DiffusionConfig, guide_cfg: GuideConfig, scene,
-                  normalizer, radius, q_min, q_max, savgol,
-                  paths_all, ix_best, cons_q, cons_t, cons_n,
-                  conflict0, margin, cons_radius, hard_weight,
-                  soft_radius, soft_weight,
-                  use_soft: bool, local: bool, n_noise: int, n_denoise: int,
-                  k_iters: int, t_pad: int = 2):
+def _greedy_core(apply_fn, params, schedule, hard_all: HardConds, keys,
+                 cfg: DiffusionConfig, guide_cfg: GuideConfig, scene,
+                 normalizer, radius, q_min, q_max, savgol,
+                 paths_all, ix_best, cons_q, cons_t, cons_n,
+                 conflict0, margin, cons_radius, hard_weight,
+                 soft_radius, soft_weight,
+                 use_soft: bool, local: bool, n_noise: int, n_denoise: int,
+                 k_iters: int, t_pad: int = 2, start_done=None):
     """k speculative best-first CT-search iterations in ONE device call.
 
     Each iteration expands the current node's first conflict into two
@@ -262,10 +259,11 @@ def greedy_expand(apply_fn, params, schedule, hard_all: HardConds, keys,
         return carry2, out
 
     count0, t0, a0, b0, mid0 = conflict0
+    done0 = jnp.asarray(False) if start_done is None else start_done
     init = (paths_all, ix_best, cons_q, cons_t, cons_n,
             (count0.astype(jnp.int32), t0.astype(jnp.int32),
              a0.astype(jnp.int32), b0.astype(jnp.int32), mid0),
-            jnp.asarray(False))
+            done0)
     # Early-exit loop instead of lax.scan: once the carry freezes (node
     # solved, both children starved, or constraint-buffer overflow) the
     # remaining iterations would compute 2 full plans each and discard
@@ -301,6 +299,79 @@ def greedy_expand(apply_fn, params, schedule, hard_all: HardConds, keys,
     _, _, outs = jax.lax.while_loop(
         w_cond, w_body, (jnp.asarray(0, jnp.int32), init, outs0))
     return outs
+
+
+greedy_expand = functools.partial(jax.jit, static_argnames=(
+    "apply_fn", "cfg", "guide_cfg", "use_soft", "local", "n_noise",
+    "n_denoise", "k_iters", "t_pad"))(_greedy_core)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "apply_fn", "cfg", "guide_cfg", "kbuf", "use_soft", "local", "n_noise",
+    "n_denoise", "k_iters", "sequential_root"))
+def root_greedy(apply_fn, params, schedule, hard_team: HardConds, base_cset,
+                keys_root, keys_greedy, cfg: DiffusionConfig,
+                guide_cfg: GuideConfig, scene, normalizer, radius, q_min,
+                q_max, savgol, margin, cons_radius, hard_weight, soft_radius,
+                soft_weight, kbuf: int, use_soft: bool, local: bool,
+                n_noise: int, n_denoise: int, k_iters: int,
+                sequential_root: bool):
+    """Root creation + conflict summary + k speculative greedy CT expansions
+    in ONE device call — easy instances (the 10-robot bench included) solve
+    in a single round trip over the TPU tunnel.
+
+    The root is either the ECBS sequential soft-constrained scan
+    (sequential_root=True; reference cbs.py:316-335) or the vmapped
+    CBS/XCBS fresh-team program. Its first-conflict summary seeds the same
+    greedy loop `greedy_expand` runs from a popped node (empty constraint
+    buffers — the root has none); the host applies the identical open-list
+    validation to the returned records. When a root agent has no free path,
+    the greedy loop starts frozen (all records invalid) and the host takes
+    its FAIL_NO_SOLUTION branch exactly as with the unfused root.
+
+    Returns ((trajs_all, free_any, idx_best, free_mask), summary,
+    greedy_outs).
+    """
+    from mmd_tpu.parallel.team import (
+        plan_fresh_team,
+        plan_sequential_root_soft,
+    )
+    from mmd_tpu.planners.multi_agent.conflict_detection import (
+        team_conflict_summary,
+    )
+
+    if sequential_root:
+        trajs, free_any, idx_best, free_mask = plan_sequential_root_soft(
+            apply_fn, params, schedule, hard_team, scene, normalizer,
+            base_cset, keys_root, cfg, guide_cfg, radius, q_min, q_max,
+            savgol, soft_radius, soft_weight)
+    else:
+        gd = GuideData(scene=scene, normalizer=normalizer,
+                       constraints=base_cset)
+        res = plan_fresh_team(apply_fn, params, schedule, hard_team, gd,
+                              keys_root, cfg, guide_cfg, scene, radius,
+                              q_min, q_max, savgol)
+        trajs, free_any, idx_best, free_mask = (
+            res.trajs_final, jnp.any(res.free_mask, axis=-1), res.idx_best,
+            res.free_mask)
+
+    A = trajs.shape[0]
+    pos = trajs[jnp.arange(A), idx_best][..., :2]
+    summary = team_conflict_summary(pos, margin)
+
+    cons_q = jnp.zeros((A, kbuf, 2), jnp.float32)
+    cons_t = jnp.zeros((A, kbuf, 2), jnp.float32)
+    cons_n = jnp.zeros((A,), jnp.int32)
+    count, t, a, b, mid = summary
+    outs = _greedy_core(
+        apply_fn, params, schedule, hard_team, keys_greedy, cfg, guide_cfg,
+        scene, normalizer, radius, q_min, q_max, savgol, trajs,
+        idx_best.astype(jnp.int32), cons_q, cons_t, cons_n,
+        (count, t, a, b, mid), margin, cons_radius, hard_weight, soft_radius,
+        soft_weight, use_soft=use_soft, local=local, n_noise=n_noise,
+        n_denoise=n_denoise, k_iters=k_iters,
+        start_done=~jnp.all(free_any))
+    return (trajs, free_any, idx_best, free_mask), summary, outs
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -68,13 +68,16 @@ def main():
                     help="alternate checkpoint root (e.g. the H=128 "
                          "long-horizon models in data_trained_models_h128)")
     ap.add_argument("--data_dir", default="data_trajectories")
+    ap.add_argument("--time_str", default=None,
+                    help="Reuse results/<time_str> to resume (done trials "
+                         "skip).")
     args = ap.parse_args()
     from mmd_tpu.experiments.trial import ModelRegistry
     registry = ModelRegistry(trained_models_dir=args.models_dir,
                              trajectories_dir=args.data_dir)
 
     cfg = MultiAgentPlanningExperimentConfig(
-        time_str=time.strftime("%y-%m-%d--%H-%M-%S"),
+        time_str=args.time_str or time.strftime("%y-%m-%d--%H-%M-%S"),
         instance_name=args.instance,
         num_agents_l=args.num_agents,
         multi_agent_planner_class_l=args.planners,

@@ -212,6 +212,7 @@ def test_greedy_immediate_freeze_falls_back(trained_setup, monkeypatch):
 
     _doctor_greedy(monkeypatch, mutate)
     cbs = _xecbs(trained_setup)
+    monkeypatch.setattr(cbs, "_root_greedy_eligible", lambda: False)
     cbs.greedy_audit = audit = []
     paths, n_exp, status, n_coll = cbs.plan(runtime_limit=600)
     _assert_collision_free(cbs, paths, status, n_coll)
@@ -231,6 +232,7 @@ def test_greedy_mid_speculation_freeze_requeues_node(trained_setup,
 
     _doctor_greedy(monkeypatch, mutate)
     cbs = _xecbs(trained_setup)
+    monkeypatch.setattr(cbs, "_root_greedy_eligible", lambda: False)
     cbs.greedy_audit = audit = []
     paths, n_exp, status, n_coll = cbs.plan(runtime_limit=600)
     _assert_collision_free(cbs, paths, status, n_coll)
@@ -253,6 +255,7 @@ def test_greedy_both_children_starved_ecbs_reexpands(trained_setup,
 
     _doctor_greedy(monkeypatch, mutate)
     cbs = _xecbs(trained_setup)
+    monkeypatch.setattr(cbs, "_root_greedy_eligible", lambda: False)
     cbs.greedy_audit = audit = []
 
     expand_calls = []
@@ -267,3 +270,72 @@ def test_greedy_both_children_starved_ecbs_reexpands(trained_setup,
     _assert_collision_free(cbs, paths, status, n_coll)
     assert ("starved",) in audit
     assert expand_calls, "starved ECBS node was not re-expanded"
+
+
+# --------------------------------------------------------------------------
+# 5. Fused root+greedy: root creation + summary + speculative descent in
+#    ONE device call (fused.root_greedy).
+# --------------------------------------------------------------------------
+
+def test_root_greedy_matches_split_path(trained_setup, monkeypatch):
+    """Root-greedy enabled vs force-disabled (split root + per-node greedy):
+    identical solution quality, best-first invariant holds, and the fused
+    path spends strictly fewer device round trips."""
+    monkeypatch.setattr(CBS, "GREEDY_ITERS", 3)
+
+    cbs_split = _xecbs(trained_setup)
+    monkeypatch.setattr(cbs_split, "_root_greedy_eligible", lambda: False)
+    paths_s, exp_s, status_s, coll_s = cbs_split.plan(runtime_limit=600)
+    _assert_collision_free(cbs_split, paths_s, status_s, coll_s)
+
+    cbs_fused = _xecbs(trained_setup)
+    assert cbs_fused._root_greedy_eligible()
+    cbs_fused.greedy_audit = audit = []
+    paths_f, exp_f, status_f, coll_f = cbs_fused.plan(runtime_limit=600)
+    _assert_collision_free(cbs_fused, paths_f, status_f, coll_f)
+
+    steps = [e for e in audit if e[0] == "step"]
+    assert exp_f > 0 and steps, "fused root+greedy path never engaged"
+    for _, n_conflicts, min_open in steps:
+        assert min_open is None or n_conflicts <= min_open, audit
+    assert (cbs_fused.timing["device_calls"]
+            < cbs_split.timing["device_calls"])
+
+
+def test_root_greedy_solved_root_and_infeasible_root(trained_setup,
+                                                     monkeypatch):
+    """Root with zero conflicts: success with 0 expansions in one device
+    call. Root with an infeasible agent: FAIL_NO_SOLUTION, as the split
+    path reports."""
+    monkeypatch.setattr(CBS, "GREEDY_ITERS", 3)
+
+    # Two far-apart agents: the root is conflict-free.
+    starts = [np.array([-0.7, -0.7], np.float32),
+              np.array([0.7, 0.7], np.float32)]
+    goals = [np.array([-0.7, 0.7], np.float32),
+             np.array([0.7, -0.7], np.float32)]
+    planners = _planners(trained_setup, starts, goals)
+    cbs = CBS(planners, starts, goals, is_ecbs=True, is_xcbs=True)
+    assert cbs._root_greedy_eligible()
+    paths, n_exp, status, n_coll = cbs.plan(runtime_limit=600)
+    _assert_collision_free(cbs, paths, status, n_coll)
+    assert n_exp == 0
+    assert cbs.timing["device_calls"] == 1
+
+    # Doctor the fused program to report a starved root agent
+    # (`_plan_root_greedy` imports root_greedy from the fused module at
+    # call time, so patching the module attribute intercepts it).
+    real = fused.root_greedy
+
+    def starved_root(*args, **kwargs):
+        team_out, summary, outs = real(*args, **kwargs)
+        free_any = np.array(jax.device_get(team_out[1]))
+        free_any[0] = False
+        return ((team_out[0], jnp.asarray(free_any), *team_out[2:]),
+                summary, outs)
+
+    monkeypatch.setattr(fused, "root_greedy", starved_root)
+    cbs2 = _xecbs(trained_setup)
+    paths2, n_exp2, status2, _ = cbs2.plan(runtime_limit=600)
+    assert status2 == TrialSuccessStatus.FAIL_NO_SOLUTION
+    assert paths2 == [] and n_exp2 == 0
