@@ -112,6 +112,97 @@ def plan_sequential_root_soft(apply_fn, params, schedule, hard_team: HardConds,
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "guide_cfg"))
+def plan_prioritized_scan(apply_fn, params, schedule, hard_team: HardConds,
+                          scene, normalizer, base_cset, keys: jax.Array,
+                          cfg: DiffusionConfig, guide_cfg: GuideConfig,
+                          radius, q_min, q_max, savgol, cons_radius,
+                          hard_weight, margin):
+    """The ENTIRE prioritized-planning pass in ONE device call.
+
+    The reference (and the host path in
+    planners/multi_agent/prioritized_planning.py) plans agents one at a
+    time, agent i avoiding the already-planned agents' chosen paths via
+    hard per-waypoint keep-out constraints, then selects the
+    fewest-conflicts candidate (reference prioritized_planning.py:46-201).
+    The order dependency lives in the scan carry: chosen (A, H, 2)
+    positions accumulate, each agent's keep-out group is built in-graph
+    with the hard constraint weight, and selection minimizes (conflict
+    count, path cost) lexicographically — agent 0 reduces to the
+    least-cost free candidate exactly as the host path's idx_best does.
+
+    Unplanned carry rows sit at distinct far-away sentinels so they
+    contribute zero conflicts (and no guide gradient, being masked).
+    Returns (trajs (A, B, H, D), free_any (A,), ix (A,), free_mask (A, B),
+    team conflict summary of the final selection).
+    """
+    from mmd_tpu.costs.constraints import SoftPathConstraints
+    from mmd_tpu.planners.multi_agent.conflict_detection import (
+        candidate_conflict_counts,
+        team_conflict_summary,
+    )
+
+    A = hard_team.values.shape[0]
+    H = cfg.horizon
+
+    def body(carry, inp):
+        sel_pos, planned = carry
+        values, key, i = inp
+        tmask = jnp.ones((A, H), jnp.float32).at[:, 0].set(0.0)
+        spc = SoftPathConstraints(points=sel_pos,
+                                  mask=planned[:, None] * tmask,
+                                  radius=cons_radius, weight=hard_weight)
+        gd = GuideData(scene=scene, normalizer=normalizer,
+                       constraints=base_cset, soft_paths=spc)
+        hard = HardConds(mask=hard_team.mask, values=values)
+        _, chain = guided_p_sample_loop(apply_fn, params, schedule, hard, key,
+                                        cfg, gd=gd, guide_cfg=guide_cfg)
+        res = _finalize_plan(chain, normalizer, scene, radius, q_min, q_max,
+                             savgol)
+        counts = candidate_conflict_counts(res.trajs_final[..., :2], i,
+                                           sel_pos, margin)
+        key_lex = jnp.where(res.free_mask,
+                            counts.astype(jnp.float32) * 1e6 + res.cost_all,
+                            jnp.inf)
+        ix = jnp.argmin(key_lex).astype(jnp.int32)
+        sel_pos = sel_pos.at[i].set(res.trajs_final[ix][..., :2])
+        planned = planned.at[i].set(1.0)
+        return (sel_pos, planned), (res.trajs_final, ix,
+                                    jnp.any(res.free_mask), res.free_mask)
+
+    # Distinct far-away sentinels per unplanned row (identical sentinels
+    # would register as mutual collisions in the scoring).
+    far = jnp.stack([jnp.full((A,), 1e6) + 1e3 * jnp.arange(A),
+                     jnp.full((A,), 1e6)], axis=-1)            # (A, 2)
+    init = (jnp.broadcast_to(far[:, None, :], (A, H, 2)),
+            jnp.zeros((A,), jnp.float32))
+    (sel_pos, _), (trajs, ix, free_any, free_mask) = jax.lax.scan(
+        body, init, (hard_team.values, keys, jnp.arange(A)))
+    return (trajs, free_any, ix, free_mask,
+            team_conflict_summary(sel_pos, margin))
+
+
+def plan_prioritized_device(planners: List, keys: Optional[jax.Array] = None,
+                            margin: float = 0.0):
+    """One-call PP over batchable MPD planners; None when not batchable."""
+    from mmd_tpu.config import params as default_params
+
+    if not _batchable(planners):
+        return None
+    p0 = planners[0]
+    hard_team = stack_hard_conds([p.hard_conds for p in planners])
+    if keys is None:
+        keys = jnp.stack([p._next_key() for p in planners])
+    base_cset, _ = p0._pack(None)
+    return plan_prioritized_scan(
+        p0.model.apply, p0.params, p0.schedule, hard_team, p0.task.scene,
+        p0.dataset.normalizer, base_cset, keys, p0.cfg, p0.guide_cfg,
+        p0.robot.radius, p0.robot.q_min, p0.robot.q_max, p0._savgol,
+        jnp.asarray(default_params.vertex_constraint_radius),
+        jnp.asarray(default_params.weight_grad_cost_constraints),
+        jnp.asarray(margin))
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "guide_cfg"))
 def _fresh_team_with_summary(apply_fn, params, schedule, hard_team, gd, keys,
                              cfg, guide_cfg, scene, radius, q_min, q_max,
                              savgol, margin):

@@ -43,9 +43,53 @@ class PrioritizedPlanning(CBS):
                          reference_task=reference_task,
                          validate_start_goal=validate_start_goal, verbose=verbose)
 
+    def _scan_eligible(self) -> bool:
+        """Gate for the one-call fused PP scan: uniform start times and
+        batchable single-tile MPD planners (staggered teams and ensemble
+        agents keep the host loop)."""
+        from mmd_tpu.parallel.team import _batchable
+        from mmd_tpu.planners.single_agent.mpd import MPD
+
+        return (self.uniform_time and self._densify == 1
+                and all(isinstance(p, MPD) for p in self.low_level_planner_l)
+                and _batchable(self.low_level_planner_l))
+
+    def _plan_scan(self):
+        """The whole PP pass in ONE device call (team.plan_prioritized_scan).
+
+        Returns the plan() tuple, or None when a root agent had no free
+        candidate — the caller reruns the host loop, whose partial-path
+        failure semantics match the reference exactly."""
+        from mmd_tpu.parallel.team import plan_prioritized_device
+
+        out = plan_prioritized_device(
+            self.low_level_planner_l,
+            keys=self._team_keys(self.num_agents), margin=self.margin)
+        if out is None:
+            return None
+        trajs, free_any, ix, free_mask, summary = out
+        free_any, ix, summary = self._fetch((free_any, ix, summary))
+        if not bool(np.asarray(free_any).all()):
+            return None
+        final = SearchState(trajs, [int(i) for i in ix])
+        count, t, a, b, mid = summary
+        final.n_conflicts = int(count)
+        final.first_conflict = (self._mk_conflict(t, a, b, mid)
+                                if count else None)
+        final.summarized = True
+        status = (TrialSuccessStatus.FAIL_COLLISION_AGENTS
+                  if final.n_conflicts else TrialSuccessStatus.SUCCESS)
+        best_path_l = global_pad_paths(final.best_paths(), self.start_time_l)
+        return best_path_l, 0, status, final.n_conflicts
+
     def plan(self, runtime_limit: float = default_params.runtime_limit):
         t_start = time.time()
         status = TrialSuccessStatus.UNKNOWN
+
+        if self._scan_eligible():
+            out = self._plan_scan()
+            if out is not None:
+                return out
 
         path_tiles: List[jax.Array] = []
         ix_best: List[int] = []

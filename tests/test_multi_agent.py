@@ -250,3 +250,27 @@ def test_cbs_least_cost_strategy(trained_setup):
               choose_path_strategy="least_cost")
     paths, n_exp, status, n_coll = cbs.plan(runtime_limit=120)
     assert len(paths) == 3
+
+
+def test_prioritized_planning_fused_scan_matches_host(trained_setup,
+                                                      monkeypatch):
+    """The one-call fused PP scan (team.plan_prioritized_scan) solves the
+    same instance the host loop solves, collision-free, in ONE device
+    round trip; the host loop remains the staggered/ensemble fallback."""
+    starts, goals = get_start_goal_pos_circle(4, radius=0.4)
+
+    pp_host = PrioritizedPlanning(_planners(trained_setup, starts, goals),
+                                  starts, goals)
+    monkeypatch.setattr(pp_host, "_scan_eligible", lambda: False)
+    paths_h, _, status_h, coll_h = pp_host.plan(runtime_limit=300)
+
+    pp_fused = PrioritizedPlanning(_planners(trained_setup, starts, goals),
+                                   starts, goals)
+    assert pp_fused._scan_eligible()
+    paths_f, n_exp, status_f, coll_f = pp_fused.plan(runtime_limit=300)
+
+    assert status_f == status_h == TrialSuccessStatus.SUCCESS
+    assert coll_f == 0 and n_exp == 0
+    assert count_conflicts(paths_f, pp_fused.margin) == 0
+    assert pp_fused.timing["device_calls"] == 1
+    assert len(paths_f) == len(paths_h) == 4
