@@ -83,9 +83,33 @@ def make_team_planner(planners, starts, goals):
     return CBS(planners, starts, goals, is_ecbs=flags[0], is_xcbs=flags[1])
 
 
+def _arm_watchdog():
+    """Emit an error JSON line instead of hanging forever if the tunneled
+    TPU is unreachable (device init blocks indefinitely when the remote
+    side is wedged). Cancelled on normal completion."""
+    import threading
+    timeout_s = float(os.environ.get("MMD_BENCH_TIMEOUT", "2700"))
+
+    def fire():
+        print(json.dumps({
+            "metric": f"{N_AGENTS}_robot_plan_wall_clock_{PLANNER}",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "error": f"watchdog: no result within {timeout_s:.0f}s "
+                     "(TPU tunnel unreachable?)",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(timeout_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     from mmd_tpu.experiments.status import TrialSuccessStatus
     from mmd_tpu.planners.multi_agent.conflict_detection import count_conflicts
+
+    watchdog = _arm_watchdog()
 
     # Warmup round compiles every shape bucket; the measured round reuses
     # the same planner/model objects (so every jit signature is warm) with a
@@ -117,6 +141,7 @@ def main():
         result["device_s"] = round(timing["device_s"], 4)
         result["host_s"] = round(wall - timing["device_s"], 4)
         result["device_calls"] = int(timing["device_calls"])
+    watchdog.cancel()
     print(json.dumps(result))
 
 
