@@ -10,6 +10,17 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# MMD_CPU_DEVICES=N forces an N-device virtual CPU backend (same escape
+# hatch as inference_multi_agent.py — capability sweeps stay runnable when
+# the tunneled TPU is unavailable; wall-clock is then not comparable).
+_n_cpu = int(os.environ.get("MMD_CPU_DEVICES", "0"))
+if _n_cpu:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={_n_cpu}").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 from mmd_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
