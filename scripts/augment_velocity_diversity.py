@@ -35,6 +35,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Host-only numpy work, but TrajectoryDataset's robot object touches jnp —
+# force the CPU backend (MMD_CPU_DEVICES convention; jax.config beats the
+# sitecustomize-exported JAX_PLATFORMS, same trick as inference CLI) so the
+# augmentation runs even when the tunneled TPU is unavailable.
+if int(os.environ.get("MMD_CPU_DEVICES", "1")):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 from mmd_tpu.datasets.trajectories import TrajectoryDataset, model_id
 
 
