@@ -50,8 +50,12 @@ from mmd_tpu.utils.metrics import (
 # Static shape buckets for packed constraints: (max_constraints, max_points).
 # The large P buckets cover ECBS/PP soft constraints, which carry one point
 # per other-agent waypoint ((n_agents-1) * H points in one constraint).
-K_BUCKETS = (4, 16, 64)
-P_BUCKETS = (1, 64, 512, 2048)
+# The 128/256 K tiers and the 4096 P tier are for dense teams: a 25-agent
+# Conveyor CT node can legitimately accumulate >64 hard constraints on one
+# agent (first hit: conveyor-vd-cpu n=25 trial 1), and soft constraints
+# carry (n_agents-1)*64 points, which passes 2048 at 33 agents.
+K_BUCKETS = (4, 16, 64, 128, 256)
+P_BUCKETS = (1, 64, 512, 2048, 4096)
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:

@@ -263,3 +263,24 @@ def test_guide_gradient_with_zoo_costs():
     np.testing.assert_allclose(np.asarray(g1[:, -1]), 0.0, atol=1e-7)
     # guide returns -grad: the limit violation at waypoint 4 must push -x.
     assert float(g1[0, 4, 0] - g0[0, 4, 0]) < 0.0
+
+
+def test_dense_team_bucket_tiers():
+    """Regression: a 25-agent CT node can accumulate >64 hard constraints on
+    one agent (first hit: conveyor-vd-cpu n=25 trial 1 — '65 exceeds the
+    largest bucket 64'). The K ladder must cover it, and packing must keep
+    every constraint live."""
+    from mmd_tpu.planners.single_agent.mpd import K_BUCKETS, P_BUCKETS, _bucket
+
+    assert _bucket(65, K_BUCKETS) == 128
+    assert _bucket(256, K_BUCKETS) == 256
+    # 34-agent soft constraint: (34-1)*64 points passes the 2048 tier.
+    assert _bucket(33 * 64, P_BUCKETS) == 4096
+
+    cs = [MultiPointConstraint(q_l=[np.array([0.01 * i, 0.0])],
+                               t_range_l=[(i % 60, i % 60 + 2)],
+                               radius_l=[0.1]) for i in range(65)]
+    cset = pack_constraint_set(cs, max_constraints=_bucket(65, K_BUCKETS),
+                               max_points=1)
+    assert cset.q.shape[0] == 128
+    assert int(np.sum(np.asarray(cset.active))) == 65
