@@ -64,6 +64,10 @@ def combine_and_save_results_for_experiment(
                 "avg_ct_expansions": 0.0,
                 "avg_data_adherence": 0.0,
                 "avg_planning_time": 0.0,
+                # Warm-time companion (extension): planning time minus the
+                # XLA compile share the trial paid — cross-planner latency
+                # comparisons should read this column.
+                "avg_warm_planning_time": 0.0,
                 "avg_path_length_per_agent": 0.0,
                 "avg_mean_path_acceleration_per_agent": 0.0,
             }
@@ -92,6 +96,12 @@ def combine_and_save_results_for_experiment(
                     d["avg_ct_expansions"] += t.num_ct_expansions / n_success
                     d["avg_data_adherence"] += t.data_adherence / n_success
                     d["avg_planning_time"] += t.planning_time / n_success
+                    # Clamped at 0: XLA compiles on parallel threads, so the
+                    # summed compile durations can exceed the wall time they
+                    # overlapped with.
+                    d["avg_warm_planning_time"] += max(
+                        0.0, t.planning_time
+                        - getattr(t, "jit_compile_time", 0.0)) / n_success
                     d["avg_path_length_per_agent"] += t.path_length_per_agent / n_success
                     d["avg_mean_path_acceleration_per_agent"] += \
                         t.mean_path_acceleration_per_agent / n_success

@@ -103,6 +103,11 @@ class MultiAgentPlanningSingleTrialResult:
     num_collisions_in_solution: int = 0
     data_adherence: float = 0.0
     planning_time: float = 0.0
+    # XLA trace+lower+compile seconds included in planning_time (first
+    # trial per process/shape-bucket pays jit compilation; warm trials are
+    # planning_time - jit_compile_time). Recorded for latency honesty in
+    # cross-planner sweep comparisons.
+    jit_compile_time: float = 0.0
     path_length_per_agent: float = 0.0
     mean_path_acceleration_per_agent: float = 0.0
     start_state_pos_l: List[np.ndarray] = dataclasses.field(default_factory=list)
@@ -128,6 +133,7 @@ class MultiAgentPlanningSingleTrialResult:
                 f"  num_collisions_in_solution: {self.num_collisions_in_solution}\n"
                 f"  data_adherence: {self.data_adherence}\n"
                 f"  planning_time: {self.planning_time}\n"
+                f"  jit_compile_time: {self.jit_compile_time}\n"
                 f"  path_length_per_agent: {self.path_length_per_agent}\n"
                 f"  mean_path_acceleration_per_agent: {self.mean_path_acceleration_per_agent}\n"
                 f"  num_ct_expansions: {self.num_ct_expansions}\n")

@@ -201,9 +201,12 @@ def run_multi_agent_trial(cfg: MultiAgentPlanningSingleTrialConfig,
                              reference_robot=reference_robot,
                              reference_task=reference_task, **mesh_kw)
 
+    from mmd_tpu.utils.profiling import compile_time_monitor
+
     t0 = time.time()
-    paths_l, num_ct_expansions, status, n_coll = team.plan(
-        runtime_limit=cfg.runtime_limit)
+    with compile_time_monitor() as compile_acc:
+        paths_l, num_ct_expansions, status, n_coll = team.plan(
+            runtime_limit=cfg.runtime_limit)
     planning_time = time.time() - t0
 
     result = MultiAgentPlanningSingleTrialResult(
@@ -213,6 +216,7 @@ def run_multi_agent_trial(cfg: MultiAgentPlanningSingleTrialConfig,
         success_status=status,
         num_collisions_in_solution=n_coll,
         planning_time=planning_time,
+        jit_compile_time=float(compile_acc["compile_s"]),
         start_state_pos_l=[s.tolist() for s in start_l],
         goal_state_pos_l=[g.tolist() for g in goal_l],
         global_model_ids=global_model_ids,

@@ -176,12 +176,17 @@ class CBS:
         # bench.py so host-overhead regressions are visible per round.
         self.timing = {"device_s": 0.0, "device_calls": 0}
 
-    def _fetch(self, tree):
-        """jax.device_get with blocking-time accounting."""
+    def _fetch(self, tree, phase: str = "other"):
+        """jax.device_get with blocking-time accounting, per search phase
+        (root / greedy / children / expand / summary / repair) so bench.py
+        can print where the one-device-call latency actually goes."""
         t0 = time.perf_counter()
         out = jax.device_get(tree)
-        self.timing["device_s"] += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        self.timing["device_s"] += dt
         self.timing["device_calls"] += 1
+        key = f"device_{phase}_s"
+        self.timing[key] = self.timing.get(key, 0.0) + dt
         return out
 
     def _team_keys(self, n: int) -> jax.Array:
@@ -228,7 +233,7 @@ class CBS:
             )
             dense = densify_positions(pos, self._densify)
             count, t, a, b, mid = self._fetch(
-                team_conflict_summary(dense, self.margin))
+                team_conflict_summary(dense, self.margin), phase="summary")
             state.n_conflicts = int(count)
             state.first_conflict = (
                 self._mk_conflict_dense(int(t), int(a), int(b),
@@ -236,7 +241,7 @@ class CBS:
                 if count else None)
             return
         count, t, a, b, mid = self._fetch(
-            team_conflict_summary(pos, self.margin))
+            team_conflict_summary(pos, self.margin), phase="summary")
         state.n_conflicts = int(count)
         state.first_conflict = self._mk_conflict(t, a, b, mid) if count else None
 
@@ -400,9 +405,9 @@ class CBS:
             summary = team[4] if len(team) > 4 else None
             if summary is not None:
                 free_any, idx_best, summary = self._fetch(
-                    (free_any, idx_best, summary))
+                    (free_any, idx_best, summary), phase="root")
             else:
-                free_any, idx_best = self._fetch((free_any, idx_best))
+                free_any, idx_best = self._fetch((free_any, idx_best), phase="root")
             if not bool(free_any.all()):
                 status = TrialSuccessStatus.FAIL_NO_SOLUTION
             else:
@@ -576,7 +581,7 @@ class CBS:
             k_iters=k_iters, sequential_root=self.is_ecbs)
         trajs_all = team_out[0]                       # stays on device
         free_any, idx_best, summary, scalars = self._fetch(
-            (team_out[1], team_out[2], summary, outs[1:]))
+            (team_out[1], team_out[2], summary, outs[1:]), phase="root")
         if not bool(np.asarray(free_any).all()):
             return None, 0
         root = SearchState(trajs_all, [int(i) for i in idx_best])
@@ -648,7 +653,8 @@ class CBS:
             n_denoise=default_params.n_local_inference_denoising_steps,
             k_iters=k_iters)
         trajs = outs[0]  # stays on device: (k, 2, B, H, D)
-        return self._process_greedy(state, trajs, self._fetch(outs[1:]))
+        return self._process_greedy(state, trajs,
+                                    self._fetch(outs[1:], phase="greedy"))
 
     def _process_greedy(self, state: SearchState, trajs,
                         scalars) -> int:
@@ -819,13 +825,14 @@ class CBS:
 
         trajs, scalars = run_children(self.is_ecbs, keys)
         any_free, ix, count, t, a, b, mid = (
-            np.array(x) for x in self._fetch(scalars))
+            np.array(x) for x in self._fetch(scalars, phase="children"))
         if self.is_ecbs and not all(bool(f) for f in any_free):
             # Soft-starved children: one more vmapped call with the soft
             # constraints dropped replaces every starved child (the hard CT
             # constraints are kept — see the plan() root fallback rationale).
             trajs2, scalars2 = run_children(False, self._team_keys(len(agent_ids)))
-            any_free2, ix2, count2, t2, a2, b2, mid2 = self._fetch(scalars2)
+            any_free2, ix2, count2, t2, a2, b2, mid2 = self._fetch(scalars2,
+                                                                   phase="children")
             for i in range(len(agent_ids)):
                 if not bool(any_free[i]):
                     any_free[i], ix[i], count[i] = any_free2[i], ix2[i], count2[i]
@@ -855,7 +862,7 @@ class CBS:
 
         ix, count, t, a, b, mid = self._fetch(team_reselect(
             root.paths_all[..., :2], jnp.asarray(root.ix_best), free_all,
-            self.margin, sweeps=sweeps))
+            self.margin, sweeps=sweeps), phase="repair")
         state = SearchState(root.paths_all, [int(i) for i in ix],
                             root.constraints)
         state.n_conflicts = int(count)
@@ -902,7 +909,8 @@ class CBS:
         from mmd_tpu.planners.multi_agent.conflict_detection import repair_accept
 
         accept, ix, count, t, a, b, mid = self._fetch(repair_accept(
-            res.trajs_final[..., :2], res.free_mask, prev_pos, self.margin))
+            res.trajs_final[..., :2], res.free_mask, prev_pos, self.margin),
+            phase="repair")
         if free_all is None:
             free_all = jnp.ones(root.paths_all.shape[:2], bool)
         new_paths = jnp.where(jnp.asarray(accept)[:, None, None, None],
@@ -978,13 +986,15 @@ class CBS:
                     return expand_fresh(*common)
 
                 new_paths, scalars = run_once(agent_constraint_l)
-                any_free, ix, count, t, a, b, mid = self._fetch(scalars)
+                any_free, ix, count, t, a, b, mid = self._fetch(scalars,
+                                                                phase="expand")
                 if not bool(any_free) and self.is_ecbs:
                     # Soft constraints starved the batch: retry with the
                     # hard CT constraints only (see plan() root fallback).
                     hard_only = _plannable(new_state.constraints[agent_id])
                     new_paths, scalars = run_once(hard_only)
-                    any_free, ix, count, t, a, b, mid = self._fetch(scalars)
+                    any_free, ix, count, t, a, b, mid = self._fetch(scalars,
+                                                                phase="expand")
                 if not bool(any_free):
                     self._log("Failed to find valid path in CT node.")
                     continue
@@ -1028,11 +1038,13 @@ class CBS:
                         T_out=T_out)
 
                 new_paths, scalars = run_once_ens(self.is_ecbs)
-                any_free, ix, count, t, a, b, mid = self._fetch(scalars)
+                any_free, ix, count, t, a, b, mid = self._fetch(scalars,
+                                                                phase="expand")
                 if not bool(any_free) and self.is_ecbs:
                     # Soft-starved batch: retry hard-constraints-only.
                     new_paths, scalars = run_once_ens(False)
-                    any_free, ix, count, t, a, b, mid = self._fetch(scalars)
+                    any_free, ix, count, t, a, b, mid = self._fetch(scalars,
+                                                                phase="expand")
                 if not bool(any_free):
                     self._log("Failed to find valid path in CT node.")
                     continue
@@ -1062,19 +1074,21 @@ class CBS:
                 # Reference alternative (cbs.py:436-441): keep the planner's
                 # least-cost best, then summarize conflicts for that choice.
                 ix, any_free = self._fetch((res.idx_best,
-                                            jnp.any(res.free_mask)))
+                                            jnp.any(res.free_mask)),
+                                           phase="expand")
                 if not bool(any_free):
                     self._log("Failed to find valid path in CT node.")
                     continue
                 chosen = others_pos.at[agent_id].set(cand_pos[int(ix)])
                 count, t, a, b, mid = self._fetch(
-                    team_conflict_summary(chosen, self.margin))
+                    team_conflict_summary(chosen, self.margin),
+                    phase="expand")
             else:
                 ix, count, t, a, b, mid, any_free = self._fetch(  # call 2
                     (*select_candidate_and_conflicts(
                         cand_pos, res.free_mask, agent_id, others_pos,
                         self.margin),
-                     jnp.any(res.free_mask)))
+                     jnp.any(res.free_mask)), phase="expand")
                 if not bool(any_free):
                     self._log("Failed to find valid path in CT node.")
                     continue  # skip this child (cbs.py:433-435)

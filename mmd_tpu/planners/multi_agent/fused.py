@@ -370,7 +370,11 @@ def root_greedy(apply_fn, params, schedule, hard_team: HardConds, base_cset,
         (count, t, a, b, mid), margin, cons_radius, hard_weight, soft_radius,
         soft_weight, use_soft=use_soft, local=local, n_noise=n_noise,
         n_denoise=n_denoise, k_iters=k_iters,
-        start_done=~jnp.all(free_any))
+        # Start the greedy loop already-done on a conflict-free OR starved
+        # root: without the count==0 term every easy instance paid one full
+        # while_loop iteration (two complete child plans) before the
+        # carry froze on count0==0 inside `body`.
+        start_done=(count == 0) | ~jnp.all(free_any))
     return (trajs, free_any, idx_best, free_mask), summary, outs
 
 

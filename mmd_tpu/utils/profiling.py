@@ -35,3 +35,31 @@ def profiler_trace(log_dir: str) -> Iterator[None]:
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def compile_time_monitor(out: Optional[dict] = None) -> Iterator[dict]:
+    """Accumulate XLA trace+lower+compile seconds spent inside the block.
+
+    Sweep latency honesty: per-trial planning_time includes whatever jit
+    variants the trial compiles first (the reference pays the analogous
+    torch warmup inside its timed region too, diffusion_model_base.py:314).
+    Rather than double-planning to warm every shape bucket, record the
+    compile share separately so cross-planner comparisons at low densities
+    can be read compile-free. Yields a dict whose "compile_s" accumulates
+    /jax/core/compile/* event durations observed while the block runs.
+    """
+    from jax import monitoring
+
+    acc = out if out is not None else {}
+    acc.setdefault("compile_s", 0.0)
+
+    def _listener(key: str, dur: float, **kw) -> None:
+        if key.startswith("/jax/core/compile/"):
+            acc["compile_s"] += dur
+
+    monitoring.register_event_duration_secs_listener(_listener)
+    try:
+        yield acc
+    finally:
+        monitoring.unregister_event_duration_listener(_listener)

@@ -19,3 +19,27 @@ jax.config.update("jax_enable_x64", False)
 # compile; cache it across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
+# ---------------------------------------------------------------------------
+# Test tiers: `pytest -m quick` is the fast pure-math/host-logic subset
+# (~5-10 min on the 1-CPU host); modules whose fixtures train a diffusion model (or run full
+# planner searches) are marked `heavy` and excluded from it. The full suite
+# remains the default.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_HEAVY_MODULES = {
+    "test_ensemble", "test_experiments", "test_greedy_equivalence",
+    "test_mesh_planner", "test_mpd", "test_multi_agent", "test_parallel",
+    "test_train", "test_trial_ensemble",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _HEAVY_MODULES or "slow" in item.keywords:
+            item.add_marker(pytest.mark.heavy)
+        else:
+            item.add_marker(pytest.mark.quick)

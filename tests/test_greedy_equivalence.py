@@ -302,6 +302,56 @@ def test_root_greedy_matches_split_path(trained_setup, monkeypatch):
             < cbs_split.timing["device_calls"])
 
 
+def test_root_greedy_conflict_free_root_skips_child_compute(trained_setup,
+                                                            monkeypatch):
+    """Regression: a conflict-free root must not pay ANY speculative child
+    plans inside the fused root_greedy program (it used to run one full
+    while_loop iteration — two complete guided replans — before the carry
+    froze on count0==0, taxing every easy instance in every sweep table).
+
+    Under jax.disable_jit() the while_loop runs as a Python loop, so every
+    child plan is an observable call to the fused module's
+    guided_p_sample_loop; the root's own plans route through
+    parallel.team's separate import and are not counted."""
+    monkeypatch.setattr(CBS, "GREEDY_ITERS", 3)
+    child_plans = []
+    real_loop = fused.guided_p_sample_loop
+    monkeypatch.setattr(
+        fused, "guided_p_sample_loop",
+        lambda *a, **kw: child_plans.append(1) or real_loop(*a, **kw))
+
+    # Two far-apart agents: the root is conflict-free.
+    starts = [np.array([-0.7, -0.7], np.float32),
+              np.array([0.7, 0.7], np.float32)]
+    goals = [np.array([-0.7, 0.7], np.float32),
+             np.array([0.7, -0.7], np.float32)]
+    planners = _planners(trained_setup, starts, goals)
+    cbs = CBS(planners, starts, goals, is_ecbs=True, is_xcbs=True)
+    assert cbs._root_greedy_eligible()
+    with jax.disable_jit():
+        paths, n_exp, status, n_coll = cbs.plan(runtime_limit=600)
+    _assert_collision_free(cbs, paths, status, n_coll)
+    assert n_exp == 0
+    assert not child_plans, (
+        f"conflict-free root paid {len(child_plans)} speculative child plans")
+
+    # Counter sanity: on a conflict-guaranteed instance the same wrapper
+    # DOES observe child plans (two per greedy iteration). Head-on swap
+    # with INDEPENDENT roots (is_ecbs=False): the vmapped fresh root can't
+    # soft-avoid, so the root conflict survives into the greedy loop.
+    # (An XECBS sequential-soft root resolves a 2-agent swap by itself —
+    # which, post-fix, correctly skips all child compute.)
+    starts2 = [np.array([-0.5, 0.0], np.float32),
+               np.array([0.5, 0.0], np.float32)]
+    goals2 = [starts2[1], starts2[0]]
+    planners2 = _planners(trained_setup, starts2, goals2)
+    cbs2 = CBS(planners2, starts2, goals2, is_ecbs=False, is_xcbs=True)
+    assert cbs2._root_greedy_eligible()
+    with jax.disable_jit():
+        cbs2.plan(runtime_limit=600)
+    assert child_plans, "counter never fired; the test hook is dead"
+
+
 def test_root_greedy_solved_root_and_infeasible_root(trained_setup,
                                                      monkeypatch):
     """Root with zero conflicts: success with 0 expansions in one device
