@@ -29,6 +29,9 @@ BASELINE_S = 2.0
 # lax.scan call for the sequential soft-constrained root and one
 # speculative greedy-descent call per expansion round (fused.greedy_expand).
 PLANNER = os.environ.get("MMD_BENCH_PLANNER", "XECBS")
+# bfloat16 UNet inference (guide/posterior/selection stay f32); see
+# TemporalUnet.dtype. MODEL_EVAL.yaml records the quality parity evidence.
+BF16 = os.environ.get("MMD_BENCH_BF16", "1") not in ("0", "", "false")
 
 
 def build_planners(seed: int = 0):
@@ -57,7 +60,7 @@ def build_planners(seed: int = 0):
     starts, goals = get_start_goal_pos_circle(N_AGENTS)
     planners = [
         MPD(model, params, schedule, dataset, jnp.asarray(s), jnp.asarray(g),
-            seed=seed * 1000 + i)
+            seed=seed * 1000 + i, bf16=BF16)
         for i, (s, g) in enumerate(zip(starts, goals))
     ]
     return planners, starts, goals
@@ -119,9 +122,20 @@ def main():
     team.plan(runtime_limit=600)
 
     team2 = make_team_planner(planners, starts, goals)
-    t0 = time.perf_counter()
-    paths, n_exp, status, n_coll = team2.plan(runtime_limit=600)
-    wall = time.perf_counter() - t0
+    # MMD_BENCH_TRACE=<dir>: wrap the measured run in the XLA profiler so
+    # the inside of the one fused device call (root scan vs greedy
+    # iterations vs finalize) is inspectable in TensorBoard/xprof.
+    trace_dir = os.environ.get("MMD_BENCH_TRACE")
+    if trace_dir:
+        from mmd_tpu.utils.profiling import profiler_trace
+        with profiler_trace(trace_dir):
+            t0 = time.perf_counter()
+            paths, n_exp, status, n_coll = team2.plan(runtime_limit=600)
+            wall = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        paths, n_exp, status, n_coll = team2.plan(runtime_limit=600)
+        wall = time.perf_counter() - t0
 
     rr_margin = planners[0].robot.rr_margin
     collision_free = count_conflicts(paths, rr_margin) == 0
@@ -141,6 +155,34 @@ def main():
         result["device_s"] = round(timing["device_s"], 4)
         result["host_s"] = round(wall - timing["device_s"], 4)
         result["device_calls"] = int(timing["device_calls"])
+        # Per-phase breakdown of the device time (root scan / greedy
+        # descent / child expansion / summaries / repair rounds).
+        for k, v in sorted(timing.items()):
+            if k.startswith("device_") and k.endswith("_s") and k != "device_s":
+                result[k] = round(v, 4)
+    if os.environ.get("MMD_BENCH_DECOMPOSE"):
+        # Split the fused root+greedy call: time the root program alone
+        # (sequential soft scan for ECBS variants, batched otherwise);
+        # greedy share = device_root_s - root_alone_s.
+        from mmd_tpu.parallel.team import (
+            plan_team_roots_device,
+            plan_team_roots_sequential_soft_device,
+        )
+        is_ecbs = PLANNER in ("ECBS", "XECBS")
+        margin = planners[0].robot.rr_margin
+
+        def root_once():
+            if is_ecbs:
+                out = plan_team_roots_sequential_soft_device(
+                    planners, summary_margin=margin)
+            else:
+                out = plan_team_roots_device(planners, summary_margin=margin)
+            jax.block_until_ready(out[0])
+
+        root_once()  # compile
+        t0 = time.perf_counter()
+        root_once()
+        result["decompose_root_alone_s"] = round(time.perf_counter() - t0, 4)
     watchdog.cancel()
     print(json.dumps(result))
 

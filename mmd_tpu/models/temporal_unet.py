@@ -15,7 +15,7 @@ the natural XLA/TPU layout, so no rearranges are needed.
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,13 +46,14 @@ class TimeEncoder(nn.Module):
 
     dim: int
     dim_out: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, t):
         h = SinusoidalPosEmb(self.dim)(t)
-        h = nn.Dense(self.dim * 4)(h)
+        h = nn.Dense(self.dim * 4, dtype=self.dtype)(h)
         h = mish(h)
-        return nn.Dense(self.dim_out)(h)
+        return nn.Dense(self.dim_out, dtype=self.dtype)(h)
 
 
 class Conv1dBlock(nn.Module):
@@ -61,12 +62,14 @@ class Conv1dBlock(nn.Module):
     out_channels: int
     kernel_size: int = 5
     n_groups: int = 8
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):  # (B, H, C)
         pad = self.kernel_size // 2
-        x = nn.Conv(self.out_channels, (self.kernel_size,), padding=pad)(x)
-        x = nn.GroupNorm(num_groups=self.n_groups)(x)
+        x = nn.Conv(self.out_channels, (self.kernel_size,), padding=pad,
+                    dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=self.n_groups, dtype=self.dtype)(x)
         return mish(x)
 
 
@@ -75,15 +78,18 @@ class ResidualTemporalBlock(nn.Module):
 
     out_channels: int
     kernel_size: int = 5
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, c):  # x: (B, H, C), c: (B, E)
-        h = Conv1dBlock(self.out_channels, self.kernel_size)(x)
-        cond = nn.Dense(self.out_channels)(mish(c))
+        h = Conv1dBlock(self.out_channels, self.kernel_size,
+                        dtype=self.dtype)(x)
+        cond = nn.Dense(self.out_channels, dtype=self.dtype)(mish(c))
         h = h + cond[:, None, :]
-        h = Conv1dBlock(self.out_channels, self.kernel_size)(h)
+        h = Conv1dBlock(self.out_channels, self.kernel_size,
+                        dtype=self.dtype)(h)
         if x.shape[-1] != self.out_channels:
-            res = nn.Conv(self.out_channels, (1,))(x)
+            res = nn.Conv(self.out_channels, (1,), dtype=self.dtype)(x)
         else:
             res = x
         return h + res
@@ -167,20 +173,24 @@ class Downsample1d(nn.Module):
     """Stride-2 conv (layers.py:261-267)."""
 
     dim: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.dim, (3,), strides=(2,), padding=1)(x)
+        return nn.Conv(self.dim, (3,), strides=(2,), padding=1,
+                       dtype=self.dtype)(x)
 
 
 class Upsample1d(nn.Module):
     """Transposed conv, kernel 4 stride 2 (layers.py:270-276)."""
 
     dim: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.ConvTranspose(self.dim, (4,), strides=(2,), padding="SAME")(x)
+        return nn.ConvTranspose(self.dim, (4,), strides=(2,),
+                                padding="SAME", dtype=self.dtype)(x)
 
 
 class TemporalUnet(nn.Module):
@@ -203,21 +213,27 @@ class TemporalUnet(nn.Module):
     self_attention: bool = False  # temporal_unet.py:82-92 optional attention
     conditioning_type: str = ""   # "", 'concatenate', 'attention', 'default'
     conditioning_embed_dim: int = 32
+    # Computation dtype (flax convention): params stay float32
+    # (param_dtype default) and are cast at use. dtype=jnp.bfloat16 runs
+    # every conv/dense/norm on the MXU's native bf16 path and halves the
+    # activation HBM traffic; None keeps exact float32 semantics.
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, time, context=None):
         cond = self.conditioning_type or ""
         if cond:
             assert context is not None, f"mode {cond!r} requires context"
-        c = TimeEncoder(32, self.time_emb_dim)(time)
+        in_dtype = x.dtype
+        c = TimeEncoder(32, self.time_emb_dim, dtype=self.dtype)(time)
 
         if cond == "concatenate":
             # Embed the state when the context embedding dwarfs it
             # (temporal_unet.py:47-55).
             if self.state_dim < self.conditioning_embed_dim // 4:
                 e = self.conditioning_embed_dim // 4
-                h = nn.Dense(e // 2)(x)
-                x_emb = nn.Dense(e)(mish(h))
+                h = nn.Dense(e // 2, dtype=self.dtype)(x)
+                x_emb = nn.Dense(e, dtype=self.dtype)(mish(h))
             else:
                 x_emb = x
             ctx = jnp.broadcast_to(context[:, None, :],
@@ -237,36 +253,39 @@ class TemporalUnet(nn.Module):
         h_stack = []
         for ind, (_, dim_out) in enumerate(in_out):
             is_last = ind >= n_res - 1
-            x = ResidualTemporalBlock(dim_out)(x, c)
-            x = ResidualTemporalBlock(dim_out)(x, c)
+            x = ResidualTemporalBlock(dim_out, dtype=self.dtype)(x, c)
+            x = ResidualTemporalBlock(dim_out, dtype=self.dtype)(x, c)
             if self.self_attention:
                 x = PreNormResidual(LinearAttention())(x)
             if cond == "attention":
                 x = ContextCrossBlock()(x, ctx3)
             h_stack.append(x)
             if not is_last:
-                x = Downsample1d(dim_out)(x)
+                x = Downsample1d(dim_out, dtype=self.dtype)(x)
 
         mid_dim = dims[-1]
-        x = ResidualTemporalBlock(mid_dim)(x, c)
+        x = ResidualTemporalBlock(mid_dim, dtype=self.dtype)(x, c)
         if self.self_attention:
             x = PreNormResidual(LinearAttention())(x)
         if cond == "attention":
             x = ContextCrossBlock()(x, ctx3)
-        x = ResidualTemporalBlock(mid_dim)(x, c)
+        x = ResidualTemporalBlock(mid_dim, dtype=self.dtype)(x, c)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out[1:])):
             x = jnp.concatenate([x, h_stack.pop()], axis=-1)
-            x = ResidualTemporalBlock(dim_in)(x, c)
-            x = ResidualTemporalBlock(dim_in)(x, c)
+            x = ResidualTemporalBlock(dim_in, dtype=self.dtype)(x, c)
+            x = ResidualTemporalBlock(dim_in, dtype=self.dtype)(x, c)
             if self.self_attention:
                 x = PreNormResidual(LinearAttention())(x)
             if cond == "attention":
                 x = ContextCrossBlock()(x, ctx3)
-            x = Upsample1d(dim_in)(x)
+            x = Upsample1d(dim_in, dtype=self.dtype)(x)
 
-        x = Conv1dBlock(self.unet_input_dim)(x)
-        return nn.Conv(self.state_dim, (1,))(x)
+        x = Conv1dBlock(self.unet_input_dim, dtype=self.dtype)(x)
+        x = nn.Conv(self.state_dim, (1,), dtype=self.dtype)(x)
+        # Epsilon consumers (posterior math, guide) run float32; hand back
+        # the caller's dtype regardless of the compute dtype.
+        return x.astype(in_dtype)
 
 
 def init_unet(key, horizon: int = 64, state_dim: int = 4,

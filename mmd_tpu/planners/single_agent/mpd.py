@@ -65,6 +65,18 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     raise ValueError(f"{n} exceeds the largest bucket {buckets[-1]}")
 
 
+_BF16_CLONES: dict = {}
+
+
+def _bf16_model(model):
+    """bfloat16-compute clone of a flax module, cached by identity so all
+    planners sharing `model` share one apply_fn (one jit cache entry)."""
+    key = id(model)
+    if key not in _BF16_CLONES:
+        _BF16_CLONES[key] = (model, model.clone(dtype=jnp.bfloat16))
+    return _BF16_CLONES[key][1]
+
+
 @pytree_dataclass
 class PlanResult:
     """Fixed-shape device output of one plan call."""
@@ -147,8 +159,14 @@ class MPD:
                  start_state_pos, goal_state_pos,
                  cfg: Optional[DiffusionConfig] = None,
                  guide_cfg: Optional[GuideConfig] = None,
-                 seed: int = default_params.seed):
-        self.model = model
+                 seed: int = default_params.seed,
+                 bf16: bool = False):
+        # bf16: run UNet inference in bfloat16 compute (params stay f32;
+        # the flax modules cast at use — see TemporalUnet.dtype). Guide
+        # gradients, posterior math, and selection stay float32. The clone
+        # is cached per model object so every planner sharing a model also
+        # shares one apply_fn (jit-cache + _batchable identity friendly).
+        self.model = _bf16_model(model) if bf16 else model
         self.params = params
         self.schedule = schedule
         self.dataset = dataset

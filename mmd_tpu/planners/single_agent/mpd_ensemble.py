@@ -147,10 +147,14 @@ class MPDEnsemble:
                  start_state_pos, goal_state_pos,
                  cfg: Optional[DiffusionConfig] = None,
                  guide_cfg: Optional[GuideConfig] = None,
-                 seed: int = default_params.seed):
+                 seed: int = default_params.seed,
+                 bf16: bool = False):
         assert len(models) == len(params_list) == len(datasets)
+        from mmd_tpu.planners.single_agent.mpd import _bf16_model
         self.n_tiles = len(models)
-        self.model = models[0]  # all tiles share the architecture
+        # all tiles share the architecture; bf16 = bfloat16-compute clone
+        # (params stay f32) — see MPD.__init__.
+        self.model = _bf16_model(models[0]) if bf16 else models[0]
         self.stacked_params = stack_params(params_list)
         self.schedule = schedule
         self.datasets = datasets

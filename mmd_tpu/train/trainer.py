@@ -51,6 +51,12 @@ class TrainConfig:
     batch_size: int = 128
     n_diffusion_steps: int = 25
     variance_schedule: str = "exponential"
+    # Mixed precision (the TPU-native analog of the reference's AMP
+    # GradScaler path, trainer.py:149,278-295): forward/backward run in
+    # bfloat16 compute (TemporalUnet.dtype), master params + optimizer
+    # state + EMA + loss stay float32. bf16 needs no loss scaling (same
+    # exponent range as f32), so there is no GradScaler analog to port.
+    bf16: bool = False
 
 
 class EarlyStopper:
@@ -200,7 +206,13 @@ def train(dataset: TrajectoryDataset,
             os.path.join(model_dir, "train_state.msgpack")):
         state = load_train_state(model_dir, state)
         (log_fn or print)(f"resumed from step {int(state.step)}")
-    step_fn = make_train_step(model.apply, schedule, optimizer, cfg)
+    # Mixed precision: the train step's forward/backward use a bfloat16
+    # compute clone (grads return float32 through the cast's transpose);
+    # validation keeps the float32 apply so early stopping measures the
+    # deployed precision.
+    train_apply = (model.clone(dtype=jnp.bfloat16).apply if cfg.bf16
+                   else model.apply)
+    step_fn = make_train_step(train_apply, schedule, optimizer, cfg)
 
     # 95/5 train/validation split (train_loaders.py:59-82). The validation
     # prefix is excluded from the training sampling range so early stopping
@@ -225,7 +237,7 @@ def train(dataset: TrajectoryDataset,
     chunk = max(1, min(cadences))
     if chunk > 1 and num_train_steps % chunk == 0 and all(
             c % chunk == 0 for c in cadences):
-        chunk_fn = make_train_chunk(model.apply, schedule, optimizer, cfg,
+        chunk_fn = make_train_chunk(train_apply, schedule, optimizer, cfg,
                                     chunk)
     else:
         chunk, chunk_fn = 1, None

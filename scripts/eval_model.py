@@ -35,6 +35,8 @@ def main():
                     help="append the aggregate row to this yaml file")
     ap.add_argument("--models_dir", default="data_trained_models")
     ap.add_argument("--data_dir", default="data_trajectories")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 UNet inference (see TemporalUnet.dtype)")
     args = ap.parse_args()
 
     registry = ModelRegistry(trained_models_dir=args.models_dir,
@@ -52,7 +54,7 @@ def main():
         qs = task.random_coll_free_q(k1, n_samples=2)
         start, goal = qs[0], qs[1]
         planner = MPD(model, params, schedule, dataset, start, goal,
-                      seed=args.seed * 1000 + i)
+                      seed=args.seed * 1000 + i, bf16=args.bf16)
         out = planner()
         stats["fraction_free"].append(out.fraction_free_trajs)
         stats["success"].append(out.success_free_trajs)
@@ -102,7 +104,11 @@ def main():
         "plan_time": float(np.mean(stats["plan_time"][1:]
                                    or stats["plan_time"])),
     }
-    print(f"model {mid} over {args.n_tasks} tasks:")
+    if args.bf16:
+        # Separate yaml row: the f32 row for the same checkpoint is the
+        # quality-parity baseline.
+        row["model"] = mid + "+bf16"
+    print(f"model {row['model']} over {args.n_tasks} tasks:")
     print(f"  fraction_free: {row['fraction_free']:.3f}")
     print(f"  success_rate:  {row['success_rate']:.3f}")
     if row["adherence"] is not None:
@@ -114,7 +120,7 @@ def main():
         if os.path.exists(args.out_yaml):
             with open(args.out_yaml) as f:
                 rows = yaml.safe_load(f) or []
-        rows = [r for r in rows if r.get("model") != mid] + [row]
+        rows = [r for r in rows if r.get("model") != row["model"]] + [row]
         with open(args.out_yaml, "w") as f:
             yaml.safe_dump(rows, f)
 

@@ -31,13 +31,16 @@ def main():
     ap.add_argument("--validate_every", type=int, default=5000)
     ap.add_argument("--summary_every", type=int, default=0)
     ap.add_argument("--checkpoint_every", type=int, default=0)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16-compute train step (TrainConfig.bf16)")
     args = ap.parse_args()
 
     mid = model_id(args.env)
     ds = TrajectoryDataset.load(args.data_dir, mid)
     print(f"dataset {mid}: {ds.n_trajs} trajectories")
     cfg = TrainConfig(batch_size=args.batch_size, lr=args.lr,
-                      n_diffusion_steps=args.n_diffusion_steps)
+                      n_diffusion_steps=args.n_diffusion_steps,
+                      bf16=args.bf16)
     train(ds, cfg, num_train_steps=args.steps, unet_dim=args.unet_dim,
           model_dir=os.path.join(args.out, mid), log_every=1000,
           validate_every=args.validate_every or None,
