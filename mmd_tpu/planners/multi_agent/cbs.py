@@ -107,7 +107,7 @@ class CBS:
                  root_repair_rounds: int = 0,
                  choose_path_strategy: Optional[str] = None,
                  conflict_types: Tuple = (PointConflict,),
-                 mesh=None):
+                 mesh=None, frontier_width: int = 1):
         self.low_level_planner_l = low_level_planner_l
         self.is_xcbs = is_xcbs
         self.is_ecbs = is_ecbs
@@ -165,6 +165,13 @@ class CBS:
                     f"num_agents={self.num_agents} not divisible by the "
                     f"mesh 'agent' axis ({mesh.shape['agent']})")
         self.mesh = mesh
+        # Throughput mode for dense instances (beyond-reference): expand the
+        # top `frontier_width` open nodes' first conflicts — 2*M child
+        # replans — in ONE fused device call (fused.frontier_expand). Every
+        # child is the exact single-node CBS expansion of its own parent;
+        # only the host-side expansion ORDER generalizes from "one best
+        # node per round trip" to "M best nodes". 1 = reference order.
+        self.frontier_width = max(1, int(frontier_width))
         # Test/diagnostic hook: when set to a list, the greedy CT search
         # appends one event per speculative step — ("step", parent_conflicts,
         # open_list_min) before each accepted expansion, plus ("freeze",),
@@ -342,9 +349,16 @@ class CBS:
                                      radius_l=radius_l, is_soft=True)]
 
     # ---------------------------------------------------------------- plan
-    def plan(self, runtime_limit: float = default_params.runtime_limit):
+    def plan(self, runtime_limit: float = default_params.runtime_limit,
+             anytime: bool = True):
         """Returns (best_path_l, n_ct_expansions, TrialSuccessStatus,
-        n_collisions) (reference: cbs.py:302-389)."""
+        n_collisions) (reference: cbs.py:302-389).
+
+        anytime (beyond-reference): on FAIL_RUNTIME_LIMIT, return the
+        LEAST-CONFLICTED node seen anywhere in the search (popped or still
+        open) with its residual conflict count, instead of the last popped
+        node — a runtime-limited trial becomes a measurable near-miss. The
+        status is unchanged; SUCCESS paths are identical either way."""
         t_start = time.time()
         status = TrialSuccessStatus.UNKNOWN
         state = root = SearchState(None, [])
@@ -467,6 +481,7 @@ class CBS:
             state = root
 
         # ---- search ----------------------------------------------------
+        best_seen = state if state.paths_all is not None else None
         while status == TrialSuccessStatus.UNKNOWN:
             if not self.open_l:
                 status = TrialSuccessStatus.FAIL_NO_SOLUTION
@@ -474,11 +489,16 @@ class CBS:
             # Fewest-conflicts-first (cbs.py:365; cost-sort alternative noted).
             self.open_l.sort(key=lambda s: s.n_conflicts)
             state = self.open_l.pop(0)
+            if best_seen is None or state.n_conflicts < best_seen.n_conflicts:
+                best_seen = state
             if state.n_conflicts == 0:
                 status = TrialSuccessStatus.SUCCESS
                 break
-            n_greedy = self._expand_greedy(state)
-            if n_greedy:
+            n_frontier = (self._expand_frontier(state)
+                          if self.frontier_width > 1 else 0)
+            if n_frontier:
+                num_expansions += n_frontier
+            elif (n_greedy := self._expand_greedy(state)):
                 num_expansions += n_greedy
             else:
                 self.expand(state)
@@ -487,6 +507,17 @@ class CBS:
                 status = TrialSuccessStatus.FAIL_RUNTIME_LIMIT
                 break
 
+        if anytime and status == TrialSuccessStatus.FAIL_RUNTIME_LIMIT:
+            # Anytime return: the least-conflicted node anywhere in the
+            # search — popped-and-expanded (best_seen) or still open. A
+            # 0-conflict open node IS a solution the next pop would have
+            # returned; report it as one.
+            cands = ([best_seen] if best_seen is not None else []) + [
+                n for n in self.open_l if n.paths_all is not None]
+            if cands:
+                state = min(cands, key=lambda s: s.n_conflicts)
+                if state.n_conflicts == 0:
+                    status = TrialSuccessStatus.SUCCESS
         if state.paths_all is None:
             return [], num_expansions, status, 0
         best_path_l = global_pad_paths(state.best_paths(), self.start_time_l)
@@ -759,6 +790,132 @@ class CBS:
             if parent is not state:
                 self.open_l.append(parent)
         return accepted
+
+    def _expand_frontier(self, state: SearchState) -> int:
+        """Expand `state` plus up to frontier_width-1 more open nodes in ONE
+        device call (fused.frontier_expand). Returns the number of nodes
+        expanded (0 = not applicable; caller falls back to greedy/expand).
+
+        Soundness: each child is its parent's exact single-node expansion
+        (same constraint accumulation, least-collisions selection, conflict
+        summary); all children enter the open list, no node is dropped.
+        Under ECBS a node with a soft-starved child falls back to the
+        batched expansion path, whose hard-only retry recovers it."""
+        if len(self.open_l) == 0:
+            return 0
+        K0 = self._greedy_kbuf(state)
+        if K0 is None:
+            return 0
+        from mmd_tpu.models.diffusion import HardConds
+        from mmd_tpu.planners.multi_agent.fused import frontier_expand
+
+        # Gather the top-M eligible nodes (open_l is already sorted; every
+        # open node has > 0 conflicts here, since the popped `state` was the
+        # minimum and had > 0).
+        nodes = [state]
+        kbuf = K0
+        rest = []
+        for n in self.open_l:
+            if len(nodes) >= self.frontier_width:
+                rest.append(n)
+                continue
+            Kn = self._greedy_kbuf(n)
+            if Kn is None:
+                rest.append(n)
+            else:
+                kbuf = max(kbuf, Kn)
+                nodes.append(n)
+        # M is a compiled shape: bucket to powers of two so a search compiles
+        # at most log2(width) frontier variants (the persistent cache then
+        # covers every later trial).
+        M = 1
+        while M * 2 <= len(nodes):
+            M *= 2
+        if M < 2:
+            return 0  # nothing to batch; greedy descent handles one node
+        rest = nodes[M:] + rest
+        nodes = nodes[:M]
+        self.open_l = rest
+
+        planners = self.low_level_planner_l
+        p0 = planners[0]
+        A = self.num_agents
+        H_all = state.paths_all.shape[2]
+        if self._hard_all is None:
+            self._hard_all = HardConds(
+                mask=p0.hard_conds.mask,
+                values=jnp.stack([p.hard_conds.values for p in planners]))
+
+        cons_q = np.zeros((M, A, kbuf, 2), np.float32)
+        cons_t = np.zeros((M, A, kbuf, 2), np.float32)
+        cons_n = np.zeros((M, A), np.int32)
+        cflt = np.zeros((M, 5), np.float32)  # count, t, a, b + mid packed below
+        mid_m = np.zeros((M, 2), np.float32)
+        for m, node in enumerate(nodes):
+            for agent_id, cons_l in node.constraints.items():
+                for k, c in enumerate(cons_l):
+                    cons_q[m, agent_id, k] = np.asarray(c.q_l[0], np.float32)[:2]
+                    cons_t[m, agent_id, k] = c.t_range_l[0]
+                cons_n[m, agent_id] = len(cons_l)
+            fc = node.first_conflict
+            cflt[m, :4] = (node.n_conflicts, fc.t_from, fc.agent_ids[0],
+                           fc.agent_ids[1])
+            mid_m[m] = np.asarray(fc.q_l[0], np.float32)[:2]
+        conflict_m = (jnp.asarray(cflt[:, 0], jnp.int32),
+                      jnp.asarray(cflt[:, 1], jnp.int32),
+                      jnp.asarray(cflt[:, 2], jnp.int32),
+                      jnp.asarray(cflt[:, 3], jnp.int32),
+                      jnp.asarray(mid_m))
+        keys = self._team_keys(2 * M).reshape(M, 2, 2)
+        paths_m = jnp.stack([n.paths_all for n in nodes])
+        ix_m = jnp.asarray([n.ix_best for n in nodes], jnp.int32)
+
+        out = frontier_expand(
+            p0.model.apply, p0.params, p0.schedule, self._hard_all, keys,
+            p0.cfg, p0.guide_cfg, p0.task.scene, p0.dataset.normalizer,
+            p0.robot.radius, p0.robot.q_min, p0.robot.q_max, p0._savgol,
+            paths_m, ix_m, jnp.asarray(cons_q), jnp.asarray(cons_t),
+            jnp.asarray(cons_n), conflict_m, self.margin,
+            jnp.asarray(default_params.vertex_constraint_radius),
+            jnp.asarray(default_params.weight_grad_cost_constraints),
+            jnp.asarray(default_params.vertex_constraint_radius),
+            jnp.asarray(default_params.weight_grad_cost_soft_constraints),
+            use_soft=self.is_ecbs, local=self.is_xcbs,
+            n_noise=default_params.n_local_inference_noising_steps,
+            n_denoise=default_params.n_local_inference_denoising_steps)
+        trajs = out[0]                                  # (M, 2, B, H, D)
+        free_m, ix_k, count_k, t_k, a_k, b_k, mid_k, agents_m = self._fetch(
+            out[1:], phase="frontier")
+
+        t_pad = 2
+        for m, node in enumerate(nodes):
+            if self.is_ecbs and not all(bool(f) for f in free_m[m]):
+                # Soft-starved child: the batched path's hard-only retry
+                # recovers it; discard this node's frontier children to
+                # avoid duplicates.
+                self.expand(node)
+                continue
+            lo = int(np.clip(node.first_conflict.t_from - t_pad, 0, H_all - 1))
+            hi = int(np.clip(node.first_conflict.t_to + t_pad, 0, H_all - 1))
+            mid = np.asarray(node.first_conflict.q_l[0], np.float32)[:2]
+            for idx in range(2):
+                if not bool(free_m[m, idx]):
+                    self._log("Failed to find valid path in CT node.")
+                    continue  # reference cbs.py:433-435
+                agent = int(agents_m[m, idx])
+                child = node.get_copy()
+                child.add_constraint(agent, MultiPointConstraint(
+                    q_l=[mid], t_range_l=[(lo, hi)],
+                    radius_l=[default_params.vertex_constraint_radius]))
+                child.paths_all = node.paths_all.at[agent].set(trajs[m, idx])
+                child.ix_best[agent] = int(ix_k[m, idx])
+                child.n_conflicts = int(count_k[m, idx])
+                child.first_conflict = (
+                    self._mk_conflict(t_k[m, idx], a_k[m, idx], b_k[m, idx],
+                                      mid_k[m, idx])
+                    if count_k[m, idx] else None)
+                self.open_l.append(child)
+        return M
 
     def _expand_children_batched(self, state: SearchState, constraints,
                                  H_all: int) -> bool:

@@ -307,6 +307,102 @@ greedy_expand = functools.partial(jax.jit, static_argnames=(
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "apply_fn", "cfg", "guide_cfg", "use_soft", "local", "n_noise",
+    "n_denoise", "t_pad"))
+def frontier_expand(apply_fn, params, schedule, hard_all: HardConds, keys,
+                    cfg: DiffusionConfig, guide_cfg: GuideConfig, scene,
+                    normalizer, radius, q_min, q_max, savgol,
+                    paths_m, ix_m, cons_q_m, cons_t_m, cons_n_m,
+                    conflict_m, margin, cons_radius, hard_weight,
+                    soft_radius, soft_weight,
+                    use_soft: bool, local: bool, n_noise: int,
+                    n_denoise: int, t_pad: int = 2):
+    """Both children of M open CT nodes in ONE device call.
+
+    Dense instances leave the open list deep in near-tied nodes; expanding
+    them one at a time (reference cbs.py:390-466) or down a single greedy
+    chain leaves the MXU idle between tunnel round trips. Here the top-M
+    nodes' first conflicts are expanded together — a (M, 2)-way vmap over
+    the same per-child program `_greedy_core` runs sequentially — so the
+    UNet sees 2*M*B-trajectory batches and the search advances M nodes per
+    round trip. CBS stays sound: each child is the exact single-node
+    expansion of its own parent (same constraint accumulation, selection,
+    and conflict summary); only the HOST-side expansion ORDER generalizes
+    from "one best node" to "M best nodes per round".
+
+    paths_m: (M, A, B, H, D); ix_m: (M, A) int; cons_*_m: per-node
+    constraint buffers (M, A, K, ...) / (M, A); conflict_m = (count, t, a,
+    b, mid) each (M,)-leading; keys: (M, 2, 2). Returns per-child records
+    stacked (M, 2, ...): (trajs, any_free, ix, count, c_t, c_a, c_b, c_mid)
+    plus the (M, 2) constrained-agent ids.
+    """
+    A = paths_m.shape[1]
+    H = paths_m.shape[3]
+    Kbuf = cons_q_m.shape[2]
+
+    def one_node(paths, ixb, cq, ct, cn, cflt, keys2):
+        count0, t0, a0, b0, mid0 = cflt
+        lo = jnp.clip(t0 - t_pad, 0, H - 1).astype(jnp.float32)
+        hi = jnp.clip(t0 + t_pad, 0, H - 1).astype(jnp.float32)
+        agents = jnp.stack([a0, b0])
+
+        def one_child(agent_idx, key):
+            # Identical math to _greedy_core.expand_one_child: append the
+            # parent's first conflict to this agent's constraint rows,
+            # replan under them (+ECBS soft rows / XCBS warm start),
+            # least-collisions select, summarize vs the others' best.
+            from mmd_tpu.costs.constraints import SoftPathConstraints
+
+            n_a = cn[agent_idx]
+            cq2 = cq.at[agent_idx, jnp.minimum(n_a, Kbuf - 1)].set(mid0)
+            ct2 = ct.at[agent_idx, jnp.minimum(n_a, Kbuf - 1)].set(
+                jnp.stack([lo, hi]))
+            cn2 = cn.at[agent_idx].add(1)
+            cset = _cset_from_rows(cq2[agent_idx], ct2[agent_idx],
+                                   cn2[agent_idx], cons_radius, hard_weight)
+            best_pos = paths[jnp.arange(A), ixb][..., :2]
+            spc = None
+            if use_soft:
+                tmask = jnp.ones((A, H), jnp.float32).at[:, 0].set(0.0)
+                rmask = (jnp.arange(A) != agent_idx).astype(
+                    jnp.float32)[:, None]
+                spc = SoftPathConstraints(points=best_pos, mask=rmask * tmask,
+                                          radius=soft_radius,
+                                          weight=soft_weight)
+            gd = GuideData(scene=scene, normalizer=normalizer,
+                           constraints=cset, soft_paths=spc)
+            hard = HardConds(mask=hard_all.mask,
+                             values=hard_all.values[agent_idx])
+            if local:
+                seed = normalizer.normalize(paths[agent_idx])
+                key2, nkey = jax.random.split(key)
+                tt = jnp.full((seed.shape[0],), n_noise, jnp.int32)
+                noise = jax.random.normal(nkey, seed.shape, seed.dtype)
+                warm = q_sample(schedule, seed, tt, noise)
+                _, chain = guided_p_sample_loop(
+                    apply_fn, params, schedule, hard, key2, cfg, gd=gd,
+                    guide_cfg=guide_cfg, n_diffusion_steps=n_denoise,
+                    warm_start=warm)
+            else:
+                _, chain = guided_p_sample_loop(
+                    apply_fn, params, schedule, hard, key, cfg, gd=gd,
+                    guide_cfg=guide_cfg)
+            res = _finalize_plan(chain, normalizer, scene, radius, q_min,
+                                 q_max, savgol)
+            ix, count, t, a, b, mid = select_candidate_and_conflicts(
+                res.trajs_final[..., :2], res.free_mask, agent_idx, best_pos,
+                margin)
+            return (res.trajs_final, jnp.any(res.free_mask), ix, count, t, a,
+                    b, mid)
+
+        out = jax.vmap(one_child)(agents, keys2)
+        return (*out, agents)
+
+    return jax.vmap(one_node)(paths_m, ix_m, cons_q_m, cons_t_m, cons_n_m,
+                              conflict_m, keys)
+
+
+@functools.partial(jax.jit, static_argnames=(
     "apply_fn", "cfg", "guide_cfg", "kbuf", "use_soft", "local", "n_noise",
     "n_denoise", "k_iters", "sequential_root"))
 def root_greedy(apply_fn, params, schedule, hard_team: HardConds, base_cset,

@@ -352,6 +352,99 @@ def test_root_greedy_conflict_free_root_skips_child_compute(trained_setup,
     assert child_plans, "counter never fired; the test hook is dead"
 
 
+def test_frontier_child_matches_greedy_first_iteration(trained_setup):
+    """Device-level equivalence of the two fused expansion programs: for the
+    SAME node, buffers, and per-child PRNG keys, `fused.frontier_expand`
+    (M=1) must reproduce `fused.greedy_expand`'s first-iteration child
+    records EXACTLY (the host frontier path is sound only because each
+    child is the identical single-node expansion)."""
+    from mmd_tpu.config import params as default_params
+    from mmd_tpu.models.diffusion import HardConds
+
+    cbs = _xecbs(trained_setup)
+    root, _ = cbs._plan_root_greedy()
+    assert root is not None and root.n_conflicts > 0
+
+    p0 = cbs.low_level_planner_l[0]
+    A = cbs.num_agents
+    K = cbs.GREEDY_KBUFS[0]
+    hard_all = HardConds(
+        mask=p0.hard_conds.mask,
+        values=jnp.stack([p.hard_conds.values
+                          for p in cbs.low_level_planner_l]))
+    cons_q = jnp.zeros((A, K, 2), jnp.float32)
+    cons_t = jnp.zeros((A, K, 2), jnp.float32)
+    cons_n = jnp.zeros((A,), jnp.int32)
+    fc = root.first_conflict
+    conflict0 = (jnp.asarray(root.n_conflicts, jnp.int32),
+                 jnp.asarray(fc.t_from, jnp.int32),
+                 jnp.asarray(fc.agent_ids[0], jnp.int32),
+                 jnp.asarray(fc.agent_ids[1], jnp.int32),
+                 jnp.asarray(fc.q_l[0], jnp.float32)[:2])
+    keys = jax.random.split(jax.random.PRNGKey(42), 2).reshape(1, 2, 2)
+    common_tail = (cbs.margin,
+                   jnp.asarray(default_params.vertex_constraint_radius),
+                   jnp.asarray(default_params.weight_grad_cost_constraints),
+                   jnp.asarray(default_params.vertex_constraint_radius),
+                   jnp.asarray(default_params.weight_grad_cost_soft_constraints))
+    static = dict(use_soft=True, local=True,
+                  n_noise=default_params.n_local_inference_noising_steps,
+                  n_denoise=default_params.n_local_inference_denoising_steps)
+    shared = (p0.model.apply, p0.params, p0.schedule, hard_all, keys,
+              p0.cfg, p0.guide_cfg, p0.task.scene, p0.dataset.normalizer,
+              p0.robot.radius, p0.robot.q_min, p0.robot.q_max, p0._savgol)
+
+    ixb = jnp.asarray(root.ix_best, jnp.int32)
+    outs_g = fused.greedy_expand(
+        *shared, root.paths_all, ixb, cons_q, cons_t, cons_n, conflict0,
+        *common_tail, k_iters=1, **static)
+    (gt, g_agents, g_free, g_ix, g_count, g_t, g_a, g_b, g_mid,
+     _chosen, _valid) = (np.asarray(x) for x in outs_g)
+
+    outs_f = fused.frontier_expand(
+        *shared, root.paths_all[None], ixb[None], cons_q[None], cons_t[None],
+        cons_n[None], tuple(c[None] for c in conflict0), *common_tail,
+        **static)
+    (ft, f_free, f_ix, f_count, f_t, f_a, f_b, f_mid, f_agents) = (
+        np.asarray(x) for x in outs_f)
+
+    np.testing.assert_array_equal(f_agents[0], g_agents[0])
+    np.testing.assert_array_equal(f_free[0], g_free[0])
+    np.testing.assert_array_equal(f_ix[0], g_ix[0])
+    np.testing.assert_array_equal(f_count[0], g_count[0])
+    np.testing.assert_array_equal(f_t[0], g_t[0])
+    np.testing.assert_allclose(f_mid[0], g_mid[0], rtol=1e-6)
+    np.testing.assert_allclose(ft[0], gt[0], rtol=1e-5, atol=1e-6)
+
+
+def test_frontier_width_search_sound(trained_setup, monkeypatch):
+    """End-to-end: frontier_width=4 on the dense instance reaches a
+    collision-free solution with >= one genuinely multi-node frontier round.
+    The fused root+greedy fast path and the greedy descent are forced off so
+    the search deterministically routes expansions through the frontier
+    (they would otherwise solve this instance before the open list ever
+    holds two nodes)."""
+    starts, goals = get_start_goal_pos_circle(6, radius=0.3)
+    planners = _planners(trained_setup, starts, goals)
+    cbs = CBS(planners, starts, goals, is_ecbs=True, is_xcbs=True,
+              frontier_width=4)
+    monkeypatch.setattr(cbs, "_root_greedy_eligible", lambda: False)
+    monkeypatch.setattr(cbs, "_expand_greedy", lambda state: 0)
+    rounds = []
+    orig = CBS._expand_frontier
+
+    def spy(self, st):
+        r = orig(self, st)
+        rounds.append(r)
+        return r
+
+    monkeypatch.setattr(CBS, "_expand_frontier", spy)
+    paths, n_exp, status, n_coll = cbs.plan(runtime_limit=900)
+    _assert_collision_free(cbs, paths, status, n_coll)
+    assert any(r >= 2 for r in rounds), f"no multi-node round fired: {rounds}"
+    assert n_exp >= sum(rounds)
+
+
 def test_root_greedy_solved_root_and_infeasible_root(trained_setup,
                                                      monkeypatch):
     """Root with zero conflicts: success with 0 expansions in one device

@@ -98,3 +98,43 @@ def test_mesh_validation():
     with pytest.raises(ValueError, match="divisible"):
         CBS([_Stub()] * 4, starts, goals, validate_start_goal=False,
             reference_task=object(), mesh=mesh_5)
+
+
+def test_mesh_xecbs_matches_single_device(trained_setup):
+    """Flagship coverage: XECBS (is_ecbs=True, is_xcbs=True) over a 4-device
+    'agent' mesh returns the same solution as the single-device run. The
+    fused root+greedy program consumes the sharded team inputs
+    (cbs._plan_root_greedy -> shard_team_inputs); the ECBS sequential soft
+    root inside it stays a lax.scan over agents — inherently serial
+    semantics (each agent avoids the previously-CHOSEN paths,
+    reference cbs.py:316-335) — while the per-agent plan bodies, greedy
+    child expansions, and conflict summaries shard. The multi-chip-NATIVE
+    flagship alternative is XECBS-R (is_ecbs=True + root_repair_rounds:
+    Jacobi batched root, covered below)."""
+    starts, goals = get_start_goal_pos_circle(4, radius=0.4)
+
+    def build(mesh):
+        planners = _planners(trained_setup, starts, goals)
+        return CBS(planners, starts, goals, is_ecbs=True, is_xcbs=True,
+                   mesh=mesh)
+
+    paths_1dev, exp_1dev = _solve(build(None))
+    mesh = make_mesh([4], axis_names=("agent",))
+    paths_mesh, exp_mesh = _solve(build(mesh))
+
+    assert exp_mesh == exp_1dev
+    assert len(paths_mesh) == len(paths_1dev)
+    for pm, p1 in zip(paths_mesh, paths_1dev):
+        np.testing.assert_allclose(np.asarray(pm), np.asarray(p1),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_mesh_xecbs_jacobi_root(trained_setup):
+    """XECBS-R on a 2-D (agent, dp) mesh: the Jacobi batched root + repair
+    round (the multi-chip-native ECBS root analog) solves sharded."""
+    starts, goals = get_start_goal_pos_circle(4, radius=0.4)
+    planners = _planners(trained_setup, starts, goals)
+    mesh = make_mesh([4, 2], axis_names=("agent", "dp"))
+    cbs = CBS(planners, starts, goals, is_ecbs=True, is_xcbs=True,
+              mesh=mesh, root_repair_rounds=1)
+    _solve(cbs)

@@ -274,3 +274,39 @@ def test_prioritized_planning_fused_scan_matches_host(trained_setup,
     assert count_conflicts(paths_f, pp_fused.margin) == 0
     assert pp_fused.timing["device_calls"] == 1
     assert len(paths_f) == len(paths_h) == 4
+
+
+def test_anytime_returns_best_near_miss(trained_setup, monkeypatch):
+    """Anytime mode (beyond-reference): a runtime-limited search returns the
+    LEAST-CONFLICTED node seen anywhere (popped or still open) with its
+    residual conflict count, so FAIL_RUNTIME_LIMIT trials are measurable
+    near-misses. anytime=False keeps the reference's last-popped return."""
+    starts, goals = get_start_goal_pos_circle(6, radius=0.3)
+    planners = _planners(trained_setup, starts, goals)
+    cbs = CBS(planners, starts, goals, is_ecbs=True, is_xcbs=True)
+    # Force the host-driven paths (no fused root+greedy fast path, which
+    # could solve the instance inside its single call) and cut the budget
+    # after exactly one expansion round.
+    monkeypatch.setattr(cbs, "_greedy_kbuf", lambda state: None)
+    paths, n_exp, status, n_coll = cbs.plan(runtime_limit=0.0)
+    # Almost always FAIL_RUNTIME_LIMIT with a positive residual; if one
+    # expansion round happened to solve the instance, anytime promotes the
+    # 0-conflict open node to SUCCESS (the next pop would have).
+    assert len(paths) == 6
+    if status == TrialSuccessStatus.SUCCESS:
+        assert n_coll == 0
+    else:
+        assert status == TrialSuccessStatus.FAIL_RUNTIME_LIMIT
+        # The residual count is the minimum over every node still open.
+        assert n_coll == min(
+            [n.n_conflicts for n in cbs.open_l] + [n_coll])
+        assert n_coll > 0
+
+    # Fresh planners => identical PRNG streams => the same search tree;
+    # anytime's best-seen return can only improve on the last-popped node.
+    planners2 = _planners(trained_setup, starts, goals)
+    cbs2 = CBS(planners2, starts, goals, is_ecbs=True, is_xcbs=True)
+    monkeypatch.setattr(cbs2, "_greedy_kbuf", lambda state: None)
+    paths2, _, status2, n_coll2 = cbs2.plan(runtime_limit=0.0, anytime=False)
+    assert status2 == TrialSuccessStatus.FAIL_RUNTIME_LIMIT
+    assert n_coll <= n_coll2
