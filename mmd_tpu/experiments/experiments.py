@@ -37,6 +37,10 @@ class MultiAgentPlanningSingleTrialConfig:
     goal_state_pos_l: Optional[List[np.ndarray]] = None
     global_model_ids: Optional[List[List[str]]] = None
     agent_skeleton_l: Optional[List[List[List[int]]]] = None
+    # Beyond-reference throughput mode (CBS family): expand the top-M open
+    # CT nodes per fused device call (cbs.CBS frontier_width). 1 keeps the
+    # reference's one-node-per-round order.
+    frontier_width: int = 1
 
 
 @dataclasses.dataclass
@@ -52,6 +56,7 @@ class MultiAgentPlanningExperimentConfig:
     runtime_limit: float = default_params.runtime_limit
     num_trials_per_combination: int = 1
     render_animation: bool = False
+    frontier_width: int = 1  # forwarded to every CBS-family trial
 
     def get_single_trial_configs_from_experiment_config(self):
         """Same start/goals reused across planners per trial
@@ -79,6 +84,7 @@ class MultiAgentPlanningExperimentConfig:
                         instance_name=self.instance_name,
                         runtime_limit=self.runtime_limit,
                         render_animation=self.render_animation,
+                        frontier_width=getattr(self, "frontier_width", 1),
                     )
                     (c.start_state_pos_l, c.goal_state_pos_l,
                      c.global_model_ids, c.agent_skeleton_l) = problems[trial_number]

@@ -196,6 +196,9 @@ def run_multi_agent_trial(cfg: MultiAgentPlanningSingleTrialConfig,
     start_time_l = [cfg.stagger_start_time_dt * i for i in range(num_agents)]
     mesh_kw = ({"mesh": mesh} if mesh is not None
                and cfg.multi_agent_planner_class != "PP" else {})
+    if (getattr(cfg, "frontier_width", 1) > 1
+            and cfg.multi_agent_planner_class != "PP"):
+        mesh_kw["frontier_width"] = cfg.frontier_width
     team = make_team_planner(cfg.multi_agent_planner_class, planners,
                              start_l, goal_l, start_time_l=start_time_l,
                              reference_robot=reference_robot,

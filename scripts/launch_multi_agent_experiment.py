@@ -75,6 +75,9 @@ def main():
     ap.add_argument("--trials", type=int, default=10)
     ap.add_argument("--runtime_limit", type=float, default=180.0)
     ap.add_argument("--stagger_dt", type=int, default=0)
+    ap.add_argument("--frontier_width", type=int, default=1,
+                    help="Expand the top-M open CT nodes per fused device "
+                         "call (CBS family; 1 = reference expansion order).")
     ap.add_argument("--models_dir", default="data_trained_models",
                     help="alternate checkpoint root (e.g. the H=128 "
                          "long-horizon models in data_trained_models_h128)")
@@ -95,6 +98,7 @@ def main():
         num_trials_per_combination=args.trials,
         runtime_limit=args.runtime_limit,
         stagger_start_time_dt=args.stagger_dt,
+        frontier_width=args.frontier_width,
     )
     analyzed = run_multi_agent_experiment(cfg, registry=registry)
     for n, per_planner in analyzed.items():
