@@ -48,9 +48,18 @@ class ConstraintSet:
         return self.q.shape[1]
 
 
+_EMPTY_CSETS: dict = {}
+
+
 def empty_constraint_set(max_constraints: int, max_points: int, q_dim: int = 2) -> ConstraintSet:
+    # Memoized: callers treat the all-zero set as an immutable constant, and
+    # a stable object identity lets the closure-baked program cache
+    # (mmd_tpu/utils/baked.py) key it without re-digesting per call.
+    cached = _EMPTY_CSETS.get((max_constraints, max_points, q_dim))
+    if cached is not None:
+        return cached
     K, P = max_constraints, max_points
-    return ConstraintSet(
+    cached = _EMPTY_CSETS[(max_constraints, max_points, q_dim)] = ConstraintSet(
         q=jnp.zeros((K, P, q_dim)),
         t_range=jnp.zeros((K, P, 2)),
         radius=jnp.zeros((K, P)),
@@ -58,6 +67,7 @@ def empty_constraint_set(max_constraints: int, max_points: int, q_dim: int = 2) 
         point_mask=jnp.zeros((K, P)),
         active=jnp.zeros((K,)),
     )
+    return cached
 
 
 def pack_constraint_set(

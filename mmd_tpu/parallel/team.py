@@ -181,10 +181,29 @@ def plan_prioritized_scan(apply_fn, params, schedule, hard_team: HardConds,
             team_conflict_summary(sel_pos, margin))
 
 
+def _planner_bake(p0):
+    """(invariant operands, their cache-key digests) for closure baking."""
+    from mmd_tpu.utils.baked import bake_key
+
+    inv = (p0.model.apply, p0.params, p0.schedule, p0.cfg, p0.guide_cfg,
+           p0.task.scene, p0.dataset.normalizer, p0.robot.radius,
+           p0.robot.q_min, p0.robot.q_max, p0._savgol)
+    digest = (p0.model.apply, p0.cfg, p0.guide_cfg, bake_key(p0.params),
+              bake_key(p0.schedule), bake_key(p0.task.scene),
+              bake_key(p0.dataset.normalizer), bake_key(p0.robot.radius),
+              bake_key(p0.robot.q_min), bake_key(p0.robot.q_max),
+              bake_key(p0._savgol))
+    return inv, digest
+
+
 def plan_prioritized_device(planners: List, keys: Optional[jax.Array] = None,
                             margin: float = 0.0):
-    """One-call PP over batchable MPD planners; None when not batchable."""
+    """One-call PP over batchable MPD planners; None when not batchable.
+
+    The planner invariants are closure-baked (mmd_tpu/utils/baked.py); only
+    the per-trial hard-cond values and PRNG keys cross the host boundary."""
     from mmd_tpu.config import params as default_params
+    from mmd_tpu.utils.baked import bake_key, baked_program
 
     if not _batchable(planners):
         return None
@@ -193,13 +212,25 @@ def plan_prioritized_device(planners: List, keys: Optional[jax.Array] = None,
     if keys is None:
         keys = jnp.stack([p._next_key() for p in planners])
     base_cset, _ = p0._pack(None)
-    return plan_prioritized_scan(
-        p0.model.apply, p0.params, p0.schedule, hard_team, p0.task.scene,
-        p0.dataset.normalizer, base_cset, keys, p0.cfg, p0.guide_cfg,
-        p0.robot.radius, p0.robot.q_min, p0.robot.q_max, p0._savgol,
-        jnp.asarray(default_params.vertex_constraint_radius),
-        jnp.asarray(default_params.weight_grad_cost_constraints),
-        jnp.asarray(margin))
+    margin = float(margin)
+    cons_radius = default_params.vertex_constraint_radius
+    hard_weight = default_params.weight_grad_cost_constraints
+    (apply_fn, params, schedule, cfg, guide_cfg, scene, normalizer, radius,
+     q_min, q_max, savgol), digest = _planner_bake(p0)
+    mask = hard_team.mask
+    ckey = ("plan_prioritized", *digest, bake_key(mask), bake_key(base_cset),
+            margin, cons_radius, hard_weight)
+
+    def build():
+        def fn(values, keys):
+            return plan_prioritized_scan(
+                apply_fn, params, schedule,
+                HardConds(mask=mask, values=values), scene, normalizer,
+                base_cset, keys, cfg, guide_cfg, radius, q_min, q_max,
+                savgol, cons_radius, hard_weight, margin)
+        return fn
+
+    return baked_program(ckey, build)(hard_team.values, keys)
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "guide_cfg"))
@@ -237,6 +268,32 @@ def _sequential_root_with_summary(apply_fn, params, schedule, hard_team,
     pos = trajs[jnp.arange(A), idx_best][..., :2]
     return (trajs, free_any, idx_best, free_mask,
             team_conflict_summary(pos, margin))
+
+
+def plan_fresh_team_soft_device(p0, hard_team: HardConds, soft_team,
+                                keys: jax.Array) -> "PlanResult":
+    """Baked-invariant wrapper of plan_fresh_team_soft (the Jacobi repair
+    call): only (hard values, keys, per-agent soft paths) cross the host
+    boundary per round."""
+    from mmd_tpu.costs.constraints import empty_constraint_set
+    from mmd_tpu.utils.baked import bake_key, baked_program
+
+    base_cset = empty_constraint_set(4, 1)
+    (apply_fn, params, schedule, cfg, guide_cfg, scene, normalizer, radius,
+     q_min, q_max, savgol), digest = _planner_bake(p0)
+    mask = hard_team.mask
+    ckey = ("fresh_team_soft", *digest, bake_key(mask))
+
+    def build():
+        def fn(values, soft_team, keys):
+            return plan_fresh_team_soft(
+                apply_fn, params, schedule,
+                HardConds(mask=mask, values=values), scene, normalizer,
+                base_cset, soft_team, keys, cfg, guide_cfg, radius, q_min,
+                q_max, savgol)
+        return fn
+
+    return baked_program(ckey, build)(hard_team.values, soft_team, keys)
 
 
 def stack_hard_conds(hard_l: List[HardConds]) -> HardConds:
@@ -374,20 +431,39 @@ def plan_team_roots_device(planners: List, keys: Optional[jax.Array] = None,
     """
     if not _batchable(planners):
         return None
+    from mmd_tpu.utils.baked import bake_key, baked_program
+
     p0 = planners[0]
     hard_team = stack_hard_conds([p.hard_conds for p in planners])
     if keys is None:
         keys = jnp.stack([p._next_key() for p in planners])
     hard_team, keys = shard_team_inputs(mesh, hard_team, keys)
-    gd = p0._guide_data(*p0._pack(None))
-    common = (p0.model.apply, p0.params, p0.schedule, hard_team, gd, keys,
-              p0.cfg, p0.guide_cfg, p0.task.scene, p0.robot.radius,
-              p0.robot.q_min, p0.robot.q_max, p0._savgol)
+    base_cset, _ = p0._pack(None)
+    (apply_fn, params, schedule, cfg, guide_cfg, scene, normalizer, radius,
+     q_min, q_max, savgol), digest = _planner_bake(p0)
+    mask = hard_team.mask
+    margin = None if summary_margin is None else float(summary_margin)
+    ckey = ("team_roots", *digest, bake_key(mask), bake_key(base_cset),
+            margin)
+
+    def build():
+        def fn(values, keys):
+            hard = HardConds(mask=mask, values=values)
+            gd = GuideData(scene=scene, normalizer=normalizer,
+                           constraints=base_cset)
+            common = (apply_fn, params, schedule, hard, gd, keys, cfg,
+                      guide_cfg, scene, radius, q_min, q_max, savgol)
+            if margin is not None:
+                return _fresh_team_with_summary(*common, margin)
+            return plan_fresh_team(*common)
+        return fn
+
+    out = baked_program(ckey, build)(hard_team.values, keys)
     if summary_margin is not None:
-        res, summary = _fresh_team_with_summary(*common, summary_margin)
+        res, summary = out
         return (res.trajs_final, jnp.any(res.free_mask, axis=-1),
                 res.idx_best, res.free_mask, summary)
-    res = plan_fresh_team(*common)
+    res = out
     return res.trajs_final, jnp.any(res.free_mask, axis=-1), res.idx_best, res.free_mask
 
 
@@ -400,6 +476,7 @@ def plan_team_roots_sequential_soft_device(planners: List,
     are not batchable (caller falls back to the per-agent host loop).
     """
     from mmd_tpu.config import params as default_params
+    from mmd_tpu.utils.baked import bake_key, baked_program
 
     if not _batchable(planners):
         return None
@@ -408,12 +485,24 @@ def plan_team_roots_sequential_soft_device(planners: List,
     if keys is None:
         keys = jnp.stack([p._next_key() for p in planners])
     base_cset, _ = p0._pack(None)
-    common = (p0.model.apply, p0.params, p0.schedule, hard_team,
-              p0.task.scene, p0.dataset.normalizer, base_cset, keys, p0.cfg,
-              p0.guide_cfg, p0.robot.radius, p0.robot.q_min, p0.robot.q_max,
-              p0._savgol,
-              jnp.asarray(default_params.vertex_constraint_radius),
-              jnp.asarray(default_params.weight_grad_cost_soft_constraints))
-    if summary_margin is not None:
-        return _sequential_root_with_summary(*common, summary_margin)
-    return plan_sequential_root_soft(*common)
+    soft_radius = default_params.vertex_constraint_radius
+    soft_weight = default_params.weight_grad_cost_soft_constraints
+    (apply_fn, params, schedule, cfg, guide_cfg, scene, normalizer, radius,
+     q_min, q_max, savgol), digest = _planner_bake(p0)
+    mask = hard_team.mask
+    margin = None if summary_margin is None else float(summary_margin)
+    ckey = ("seq_root_soft", *digest, bake_key(mask), bake_key(base_cset),
+            soft_radius, soft_weight, margin)
+
+    def build():
+        def fn(values, keys):
+            hard = HardConds(mask=mask, values=values)
+            common = (apply_fn, params, schedule, hard, scene, normalizer,
+                      base_cset, keys, cfg, guide_cfg, radius, q_min, q_max,
+                      savgol, soft_radius, soft_weight)
+            if margin is not None:
+                return _sequential_root_with_summary(*common, margin)
+            return plan_sequential_root_soft(*common)
+        return fn
+
+    return baked_program(ckey, build)(hard_team.values, keys)

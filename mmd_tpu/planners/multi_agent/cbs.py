@@ -601,10 +601,10 @@ class CBS:
             keys_root, keys_greedy, p0.cfg, p0.guide_cfg, p0.task.scene,
             p0.dataset.normalizer, p0.robot.radius, p0.robot.q_min,
             p0.robot.q_max, p0._savgol, self.margin,
-            jnp.asarray(default_params.vertex_constraint_radius),
-            jnp.asarray(default_params.weight_grad_cost_constraints),
-            jnp.asarray(default_params.vertex_constraint_radius),
-            jnp.asarray(default_params.weight_grad_cost_soft_constraints),
+            default_params.vertex_constraint_radius,
+            default_params.weight_grad_cost_constraints,
+            default_params.vertex_constraint_radius,
+            default_params.weight_grad_cost_soft_constraints,
             kbuf=self.GREEDY_KBUFS[0], use_soft=self.is_ecbs,
             local=self.is_xcbs,
             n_noise=default_params.n_local_inference_noising_steps,
@@ -675,10 +675,10 @@ class CBS:
             state.paths_all, jnp.asarray(state.ix_best, jnp.int32),
             jnp.asarray(cons_q), jnp.asarray(cons_t), jnp.asarray(cons_n),
             conflict0, self.margin,
-            jnp.asarray(default_params.vertex_constraint_radius),
-            jnp.asarray(default_params.weight_grad_cost_constraints),
-            jnp.asarray(default_params.vertex_constraint_radius),
-            jnp.asarray(default_params.weight_grad_cost_soft_constraints),
+            default_params.vertex_constraint_radius,
+            default_params.weight_grad_cost_constraints,
+            default_params.vertex_constraint_radius,
+            default_params.weight_grad_cost_soft_constraints,
             use_soft=self.is_ecbs, local=self.is_xcbs,
             n_noise=default_params.n_local_inference_noising_steps,
             n_denoise=default_params.n_local_inference_denoising_steps,
@@ -876,10 +876,10 @@ class CBS:
             p0.robot.radius, p0.robot.q_min, p0.robot.q_max, p0._savgol,
             paths_m, ix_m, jnp.asarray(cons_q), jnp.asarray(cons_t),
             jnp.asarray(cons_n), conflict_m, self.margin,
-            jnp.asarray(default_params.vertex_constraint_radius),
-            jnp.asarray(default_params.weight_grad_cost_constraints),
-            jnp.asarray(default_params.vertex_constraint_radius),
-            jnp.asarray(default_params.weight_grad_cost_soft_constraints),
+            default_params.vertex_constraint_radius,
+            default_params.weight_grad_cost_constraints,
+            default_params.vertex_constraint_radius,
+            default_params.weight_grad_cost_soft_constraints,
             use_soft=self.is_ecbs, local=self.is_xcbs,
             n_noise=default_params.n_local_inference_noising_steps,
             n_denoise=default_params.n_local_inference_denoising_steps)
@@ -974,8 +974,8 @@ class CBS:
                 p0.robot.radius, p0.robot.q_min, p0.robot.q_max, p0._savgol,
                 state.paths_all, jnp.asarray(state.ix_best),
                 jnp.asarray(agent_ids), self.margin,
-                jnp.asarray(default_params.vertex_constraint_radius),
-                jnp.asarray(default_params.weight_grad_cost_soft_constraints),
+                default_params.vertex_constraint_radius,
+                default_params.weight_grad_cost_soft_constraints,
                 use_soft=use_soft, local=self.is_xcbs,
                 n_noise=default_params.n_local_inference_noising_steps,
                 n_denoise=default_params.n_local_inference_denoising_steps)
@@ -1036,9 +1036,8 @@ class CBS:
 
         Returns (state, free_all) with free masks tracking whichever batch
         (old or repaired) each agent's row ended up holding."""
-        from mmd_tpu.costs.constraints import empty_constraint_set
         from mmd_tpu.parallel.team import (
-            plan_fresh_team_soft,
+            plan_fresh_team_soft_device,
             stack_hard_conds,
             team_soft_paths,
         )
@@ -1055,11 +1054,7 @@ class CBS:
             hard_team, keys = shard_team_inputs(self.mesh, hard_team, keys)
             from mmd_tpu.parallel.sharding import shard_leading_axis
             soft_team = shard_leading_axis(soft_team, self.mesh, "agent")
-        res = plan_fresh_team_soft(
-            p0.model.apply, p0.params, p0.schedule, hard_team, p0.task.scene,
-            p0.dataset.normalizer, empty_constraint_set(4, 1), soft_team, keys,
-            p0.cfg, p0.guide_cfg, p0.robot.radius, p0.robot.q_min,
-            p0.robot.q_max, p0._savgol)
+        res = plan_fresh_team_soft_device(p0, hard_team, soft_team, keys)
         # Fused: per-agent selection + accept-if-improved damping + global
         # monotonicity + conflict summary, one device call
         # (conflict_detection.repair_accept).

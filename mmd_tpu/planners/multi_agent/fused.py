@@ -14,6 +14,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from mmd_tpu.config import DiffusionConfig
 from mmd_tpu.costs.guide import GuideConfig, GuideData
 from mmd_tpu.models.diffusion import HardConds, guided_p_sample_loop, q_sample
@@ -21,6 +23,30 @@ from mmd_tpu.planners.multi_agent.conflict_detection import (
     select_candidate_and_conflicts,
 )
 from mmd_tpu.planners.single_agent.mpd import _finalize_plan
+
+# ---------------------------------------------------------------------------
+# Closure-baked program cache.
+#
+# Passing the planner invariants (UNet params, schedule, SDF scene,
+# normalizer, savgol filter, robot/guide scalars) as jit ARGUMENTS costs
+# ~0.35 s per call on a tunneled TPU: numpy leaves (params fresh off
+# msgpack) re-upload every call, and the remaining per-operand dispatch +
+# lost constant-folding add the rest (measured 0.65 s arg-passing vs 0.29 s
+# fully-baked for the 10-agent sequential root). The public entry points
+# below therefore BAKE every invariant operand into a closure-jitted
+# program and pass only the per-call data (hard-cond values, PRNG keys,
+# team paths, constraint buffers, conflict scalars).
+#
+# Cache keys digest each invariant by VALUE (shape/dtype/content hash),
+# memoized by object identity so the per-call cost is dict lookups: value
+# keying lets every trial in a sweep — which rebuilds MPD objects but
+# shares params/dataset via the model cache — reuse one compiled program.
+# Shared machinery: mmd_tpu/utils/baked.py.
+# ---------------------------------------------------------------------------
+from mmd_tpu.utils.baked import (        # noqa: E402
+    PROGRAM_CACHE as _PROGRAM_CACHE,
+    bake_key as _bake_key,
+)
 
 
 def _select_and_update(res, paths_all, ix_best, agent_idx, margin):
@@ -33,22 +59,39 @@ def _select_and_update(res, paths_all, ix_best, agent_idx, margin):
     return new_paths_all, (any_free, ix, count, t, a, b, mid)
 
 
-@functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "guide_cfg"))
 def expand_fresh(apply_fn, params, schedule, hard: HardConds, gd: GuideData,
                  key, cfg: DiffusionConfig, guide_cfg: GuideConfig,
                  scene, radius, q_min, q_max, savgol,
                  paths_all, ix_best, agent_idx, margin):
     """Fresh replan of one agent + least-collisions selection + conflict
-    summary + paths update — one device call."""
-    _, chain = guided_p_sample_loop(apply_fn, params, schedule, hard, key, cfg,
-                                    gd=gd, guide_cfg=guide_cfg)
-    res = _finalize_plan(chain, gd.normalizer, scene, radius, q_min, q_max, savgol)
-    return _select_and_update(res, paths_all, ix_best, agent_idx, margin)
+    summary + paths update — one device call (closure-baked invariants)."""
+    ckey = ("expand_fresh", apply_fn, cfg, guide_cfg,
+            _bake_key(params), _bake_key(schedule), _bake_key(hard.mask),
+            _bake_key(scene), _bake_key(gd.normalizer), _bake_key(radius),
+            _bake_key(q_min), _bake_key(q_max), _bake_key(savgol),
+            _bake_key(margin))
+    fn = _PROGRAM_CACHE.get(ckey)
+    if fn is None:
+        mask, normalizer = hard.mask, gd.normalizer
+
+        @jax.jit
+        def fn(values, cset, spc, key, paths_all, ix_best, agent_idx):
+            hard_ = HardConds(mask=mask, values=values)
+            gd_ = GuideData(scene=scene, normalizer=normalizer,
+                            constraints=cset, soft_paths=spc)
+            _, chain = guided_p_sample_loop(apply_fn, params, schedule, hard_,
+                                            key, cfg, gd=gd_,
+                                            guide_cfg=guide_cfg)
+            res = _finalize_plan(chain, normalizer, scene, radius, q_min,
+                                 q_max, savgol)
+            return _select_and_update(res, paths_all, ix_best, agent_idx,
+                                      margin)
+
+        _PROGRAM_CACHE[ckey] = fn
+    return fn(hard.values, gd.constraints, gd.soft_paths, key, paths_all,
+              ix_best, agent_idx)
 
 
-@functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "guide_cfg",
-                                             "use_soft", "local",
-                                             "n_noise", "n_denoise"))
 def expand_children(apply_fn, params, schedule, hard_c: HardConds,
                     cset_c, keys, cfg: DiffusionConfig,
                     guide_cfg: GuideConfig, scene, normalizer, radius,
@@ -56,7 +99,8 @@ def expand_children(apply_fn, params, schedule, hard_c: HardConds,
                     margin, soft_radius, soft_weight,
                     use_soft: bool, local: bool,
                     n_noise: int = 0, n_denoise: int = 0):
-    """All children of a CT expansion in ONE device call, any CBS variant.
+    """All children of a CT expansion in ONE device call, any CBS variant
+    (dispatcher; invariants closure-baked, see _PROGRAM_CACHE above).
 
     A conflict spawns children, each replanning a different agent under its
     own constraints — independent programs the reference runs sequentially
@@ -73,6 +117,37 @@ def expand_children(apply_fn, params, schedule, hard_c: HardConds,
     agent_ids: (C,) int. Returns (child_trajs (C, B, H, D), per-child
     scalar tuple (any_free, ix, count, t, a, b, mid)).
     """
+    ckey = ("expand_children", apply_fn, cfg, guide_cfg, use_soft, local,
+            n_noise, n_denoise, _bake_key(params), _bake_key(schedule),
+            _bake_key(hard_c.mask), _bake_key(scene), _bake_key(normalizer),
+            _bake_key(radius), _bake_key(q_min), _bake_key(q_max),
+            _bake_key(savgol), _bake_key(margin), _bake_key(soft_radius),
+            _bake_key(soft_weight))
+    fn = _PROGRAM_CACHE.get(ckey)
+    if fn is None:
+        mask = hard_c.mask
+
+        @jax.jit
+        def fn(hard_values_c, cset_c, keys, paths_all, ix_best, agent_ids):
+            return _expand_children_core(
+                apply_fn, params, schedule, HardConds(mask=mask,
+                                                      values=hard_values_c),
+                cset_c, keys, cfg, guide_cfg, scene, normalizer, radius,
+                q_min, q_max, savgol, paths_all, ix_best, agent_ids, margin,
+                soft_radius, soft_weight, use_soft=use_soft, local=local,
+                n_noise=n_noise, n_denoise=n_denoise)
+
+        _PROGRAM_CACHE[ckey] = fn
+    return fn(hard_c.values, cset_c, keys, paths_all, ix_best, agent_ids)
+
+
+def _expand_children_core(apply_fn, params, schedule, hard_c: HardConds,
+                          cset_c, keys, cfg: DiffusionConfig,
+                          guide_cfg: GuideConfig, scene, normalizer, radius,
+                          q_min, q_max, savgol, paths_all, ix_best, agent_ids,
+                          margin, soft_radius, soft_weight,
+                          use_soft: bool, local: bool,
+                          n_noise: int = 0, n_denoise: int = 0):
     from mmd_tpu.costs.constraints import SoftPathConstraints
 
     n = paths_all.shape[0]
@@ -301,14 +376,44 @@ def _greedy_core(apply_fn, params, schedule, hard_all: HardConds, keys,
     return outs
 
 
-greedy_expand = functools.partial(jax.jit, static_argnames=(
-    "apply_fn", "cfg", "guide_cfg", "use_soft", "local", "n_noise",
-    "n_denoise", "k_iters", "t_pad"))(_greedy_core)
+def greedy_expand(apply_fn, params, schedule, hard_all: HardConds, keys,
+                  cfg: DiffusionConfig, guide_cfg: GuideConfig, scene,
+                  normalizer, radius, q_min, q_max, savgol,
+                  paths_all, ix_best, cons_q, cons_t, cons_n,
+                  conflict0, margin, cons_radius, hard_weight,
+                  soft_radius, soft_weight,
+                  use_soft: bool, local: bool, n_noise: int, n_denoise: int,
+                  k_iters: int, t_pad: int = 2):
+    """Dispatcher for `_greedy_core` with invariants closure-baked (see
+    _PROGRAM_CACHE above). Signature matches the core exactly."""
+    ckey = ("greedy_expand", apply_fn, cfg, guide_cfg, use_soft, local,
+            n_noise, n_denoise, k_iters, t_pad, _bake_key(params),
+            _bake_key(schedule), _bake_key(hard_all.mask), _bake_key(scene),
+            _bake_key(normalizer), _bake_key(radius), _bake_key(q_min),
+            _bake_key(q_max), _bake_key(savgol), _bake_key(margin),
+            _bake_key(cons_radius), _bake_key(hard_weight),
+            _bake_key(soft_radius), _bake_key(soft_weight))
+    fn = _PROGRAM_CACHE.get(ckey)
+    if fn is None:
+        mask = hard_all.mask
+
+        @jax.jit
+        def fn(hard_values, keys, paths_all, ix_best, cons_q, cons_t, cons_n,
+               conflict0):
+            return _greedy_core(
+                apply_fn, params, schedule,
+                HardConds(mask=mask, values=hard_values), keys, cfg,
+                guide_cfg, scene, normalizer, radius, q_min, q_max, savgol,
+                paths_all, ix_best, cons_q, cons_t, cons_n, conflict0,
+                margin, cons_radius, hard_weight, soft_radius, soft_weight,
+                use_soft=use_soft, local=local, n_noise=n_noise,
+                n_denoise=n_denoise, k_iters=k_iters, t_pad=t_pad)
+
+        _PROGRAM_CACHE[ckey] = fn
+    return fn(hard_all.values, keys, paths_all, ix_best, cons_q, cons_t,
+              cons_n, conflict0)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "apply_fn", "cfg", "guide_cfg", "use_soft", "local", "n_noise",
-    "n_denoise", "t_pad"))
 def frontier_expand(apply_fn, params, schedule, hard_all: HardConds, keys,
                     cfg: DiffusionConfig, guide_cfg: GuideConfig, scene,
                     normalizer, radius, q_min, q_max, savgol,
@@ -317,7 +422,8 @@ def frontier_expand(apply_fn, params, schedule, hard_all: HardConds, keys,
                     soft_radius, soft_weight,
                     use_soft: bool, local: bool, n_noise: int,
                     n_denoise: int, t_pad: int = 2):
-    """Both children of M open CT nodes in ONE device call.
+    """Both children of M open CT nodes in ONE device call (dispatcher;
+    invariants closure-baked, see _PROGRAM_CACHE above).
 
     Dense instances leave the open list deep in near-tied nodes; expanding
     them one at a time (reference cbs.py:390-466) or down a single greedy
@@ -336,6 +442,42 @@ def frontier_expand(apply_fn, params, schedule, hard_all: HardConds, keys,
     stacked (M, 2, ...): (trajs, any_free, ix, count, c_t, c_a, c_b, c_mid)
     plus the (M, 2) constrained-agent ids.
     """
+    ckey = ("frontier_expand", apply_fn, cfg, guide_cfg, use_soft, local,
+            n_noise, n_denoise, t_pad, _bake_key(params),
+            _bake_key(schedule), _bake_key(hard_all.mask), _bake_key(scene),
+            _bake_key(normalizer), _bake_key(radius), _bake_key(q_min),
+            _bake_key(q_max), _bake_key(savgol), _bake_key(margin),
+            _bake_key(cons_radius), _bake_key(hard_weight),
+            _bake_key(soft_radius), _bake_key(soft_weight))
+    fn = _PROGRAM_CACHE.get(ckey)
+    if fn is None:
+        mask = hard_all.mask
+
+        @jax.jit
+        def fn(hard_values, keys, paths_m, ix_m, cons_q_m, cons_t_m,
+               cons_n_m, conflict_m):
+            return _frontier_core(
+                apply_fn, params, schedule,
+                HardConds(mask=mask, values=hard_values), keys, cfg,
+                guide_cfg, scene, normalizer, radius, q_min, q_max, savgol,
+                paths_m, ix_m, cons_q_m, cons_t_m, cons_n_m, conflict_m,
+                margin, cons_radius, hard_weight, soft_radius, soft_weight,
+                use_soft=use_soft, local=local, n_noise=n_noise,
+                n_denoise=n_denoise, t_pad=t_pad)
+
+        _PROGRAM_CACHE[ckey] = fn
+    return fn(hard_all.values, keys, paths_m, ix_m, cons_q_m, cons_t_m,
+              cons_n_m, conflict_m)
+
+
+def _frontier_core(apply_fn, params, schedule, hard_all: HardConds, keys,
+                   cfg: DiffusionConfig, guide_cfg: GuideConfig, scene,
+                   normalizer, radius, q_min, q_max, savgol,
+                   paths_m, ix_m, cons_q_m, cons_t_m, cons_n_m,
+                   conflict_m, margin, cons_radius, hard_weight,
+                   soft_radius, soft_weight,
+                   use_soft: bool, local: bool, n_noise: int,
+                   n_denoise: int, t_pad: int = 2):
     A = paths_m.shape[1]
     H = paths_m.shape[3]
     Kbuf = cons_q_m.shape[2]
@@ -402,9 +544,6 @@ def frontier_expand(apply_fn, params, schedule, hard_all: HardConds, keys,
                               conflict_m, keys)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "apply_fn", "cfg", "guide_cfg", "kbuf", "use_soft", "local", "n_noise",
-    "n_denoise", "k_iters", "sequential_root"))
 def root_greedy(apply_fn, params, schedule, hard_team: HardConds, base_cset,
                 keys_root, keys_greedy, cfg: DiffusionConfig,
                 guide_cfg: GuideConfig, scene, normalizer, radius, q_min,
@@ -412,6 +551,45 @@ def root_greedy(apply_fn, params, schedule, hard_team: HardConds, base_cset,
                 soft_weight, kbuf: int, use_soft: bool, local: bool,
                 n_noise: int, n_denoise: int, k_iters: int,
                 sequential_root: bool):
+    """Dispatcher for `_root_greedy_core` with invariants closure-baked (see
+    _PROGRAM_CACHE above). base_cset (the root's empty constraint set) is an
+    invariant too — it's derived from buckets, not per-call data."""
+    ckey = ("root_greedy", apply_fn, cfg, guide_cfg, kbuf, use_soft, local,
+            n_noise, n_denoise, k_iters, sequential_root, _bake_key(params),
+            _bake_key(schedule), _bake_key(hard_team.mask),
+            _bake_key(base_cset), _bake_key(scene), _bake_key(normalizer),
+            _bake_key(radius), _bake_key(q_min), _bake_key(q_max),
+            _bake_key(savgol), _bake_key(margin), _bake_key(cons_radius),
+            _bake_key(hard_weight), _bake_key(soft_radius),
+            _bake_key(soft_weight))
+    fn = _PROGRAM_CACHE.get(ckey)
+    if fn is None:
+        mask = hard_team.mask
+
+        @jax.jit
+        def fn(hard_values, keys_root, keys_greedy):
+            return _root_greedy_core(
+                apply_fn, params, schedule,
+                HardConds(mask=mask, values=hard_values), base_cset,
+                keys_root, keys_greedy, cfg, guide_cfg, scene, normalizer,
+                radius, q_min, q_max, savgol, margin, cons_radius,
+                hard_weight, soft_radius, soft_weight, kbuf=kbuf,
+                use_soft=use_soft, local=local, n_noise=n_noise,
+                n_denoise=n_denoise, k_iters=k_iters,
+                sequential_root=sequential_root)
+
+        _PROGRAM_CACHE[ckey] = fn
+    return fn(hard_team.values, keys_root, keys_greedy)
+
+
+def _root_greedy_core(apply_fn, params, schedule, hard_team: HardConds,
+                      base_cset, keys_root, keys_greedy,
+                      cfg: DiffusionConfig, guide_cfg: GuideConfig, scene,
+                      normalizer, radius, q_min, q_max, savgol, margin,
+                      cons_radius, hard_weight, soft_radius, soft_weight,
+                      kbuf: int, use_soft: bool, local: bool,
+                      n_noise: int, n_denoise: int, k_iters: int,
+                      sequential_root: bool):
     """Root creation + conflict summary + k speculative greedy CT expansions
     in ONE device call — easy instances (the 10-robot bench included) solve
     in a single round trip over the TPU tunnel.
@@ -566,23 +744,44 @@ def expand_child_ensemble(apply_fn, stacked_params, schedule,
     return new_paths_all, (jnp.any(res.free_mask), ix, count, t, a, b, mid)
 
 
-@functools.partial(jax.jit, static_argnames=("apply_fn", "cfg", "guide_cfg",
-                                             "n_noise", "n_denoise"))
 def expand_local(apply_fn, params, schedule, hard: HardConds, gd: GuideData,
                  key, cfg: DiffusionConfig, guide_cfg: GuideConfig,
                  scene, radius, q_min, q_max, savgol,
                  paths_all, ix_best, agent_idx, margin,
                  n_noise: int, n_denoise: int):
     """XCBS expansion: the agent's current batch is the warm-start seed
-    (normalized in-graph), locally re-denoised under the new constraints."""
-    seed = gd.normalizer.normalize(paths_all[agent_idx])
-    key, nkey = jax.random.split(key)
-    B = seed.shape[0]
-    t = jnp.full((B,), n_noise, jnp.int32)
-    noise = jax.random.normal(nkey, seed.shape, seed.dtype)
-    warm = q_sample(schedule, seed, t, noise)
-    _, chain = guided_p_sample_loop(apply_fn, params, schedule, hard, key, cfg,
-                                    gd=gd, guide_cfg=guide_cfg,
-                                    n_diffusion_steps=n_denoise, warm_start=warm)
-    res = _finalize_plan(chain, gd.normalizer, scene, radius, q_min, q_max, savgol)
-    return _select_and_update(res, paths_all, ix_best, agent_idx, margin)
+    (normalized in-graph), locally re-denoised under the new constraints
+    (dispatcher; invariants closure-baked, see _PROGRAM_CACHE above)."""
+    ckey = ("expand_local", apply_fn, cfg, guide_cfg, n_noise, n_denoise,
+            _bake_key(params), _bake_key(schedule), _bake_key(hard.mask),
+            _bake_key(scene), _bake_key(gd.normalizer), _bake_key(radius),
+            _bake_key(q_min), _bake_key(q_max), _bake_key(savgol),
+            _bake_key(margin))
+    fn = _PROGRAM_CACHE.get(ckey)
+    if fn is None:
+        mask, normalizer = hard.mask, gd.normalizer
+
+        @jax.jit
+        def fn(values, cset, spc, key, paths_all, ix_best, agent_idx):
+            hard_ = HardConds(mask=mask, values=values)
+            gd_ = GuideData(scene=scene, normalizer=normalizer,
+                            constraints=cset, soft_paths=spc)
+            seed = normalizer.normalize(paths_all[agent_idx])
+            key2, nkey = jax.random.split(key)
+            B = seed.shape[0]
+            t = jnp.full((B,), n_noise, jnp.int32)
+            noise = jax.random.normal(nkey, seed.shape, seed.dtype)
+            warm = q_sample(schedule, seed, t, noise)
+            _, chain = guided_p_sample_loop(apply_fn, params, schedule, hard_,
+                                            key2, cfg, gd=gd_,
+                                            guide_cfg=guide_cfg,
+                                            n_diffusion_steps=n_denoise,
+                                            warm_start=warm)
+            res = _finalize_plan(chain, normalizer, scene, radius, q_min,
+                                 q_max, savgol)
+            return _select_and_update(res, paths_all, ix_best, agent_idx,
+                                      margin)
+
+        _PROGRAM_CACHE[ckey] = fn
+    return fn(hard.values, gd.constraints, gd.soft_paths, key, paths_all,
+              ix_best, agent_idx)

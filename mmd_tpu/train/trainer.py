@@ -350,5 +350,9 @@ def load_checkpoint(model_dir: str, use_ema: bool = True):
     name = "ema_model.msgpack" if use_ema else "model.msgpack"
     with open(os.path.join(model_dir, name), "rb") as f:
         params = serialization.from_bytes(shapes, f.read())
+    # from_bytes returns NUMPY leaves; left that way, every jit call taking
+    # params as an argument re-uploads ~4 MB over the host<->TPU link.
+    # Device-put once at load so planner calls pass device-resident buffers.
+    params = jax.device_put(params)
     schedule = make_schedule(info["variance_schedule"], info["n_diffusion_steps"])
     return model, params, schedule, info
