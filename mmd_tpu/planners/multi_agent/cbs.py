@@ -358,8 +358,29 @@ class CBS:
         LEAST-CONFLICTED node seen anywhere in the search (popped or still
         open) with its residual conflict count, instead of the last popped
         node — a runtime-limited trial becomes a measurable near-miss. The
-        status is unchanged; SUCCESS paths are identical either way."""
+        status is unchanged; SUCCESS paths are identical either way.
+
+        The runtime limit is checked against SEARCH time: jit compile
+        seconds observed during the call are excluded from the deadline
+        (the reference pays its torch.compile warmup at planner
+        construction, outside plan() — diffusion_model_base.py:314,
+        mpd.py:176-177 — so counting first-trial XLA compiles against the
+        budget would fail trials the reference protocol would not)."""
+        from mmd_tpu.utils.profiling import compile_time_monitor
+
+        with compile_time_monitor() as acc:
+            out = self._plan_timed(runtime_limit, anytime, acc)
+        self.timing["compile_s"] = self.timing.get("compile_s", 0.0) + \
+            acc["compile_s"]
+        return out
+
+    def _plan_timed(self, runtime_limit: float, anytime: bool,
+                    compile_acc: dict):
         t_start = time.time()
+
+        def over_limit() -> bool:
+            return (time.time() - t_start - compile_acc["compile_s"]
+                    > runtime_limit)
         status = TrialSuccessStatus.UNKNOWN
         state = root = SearchState(None, [])
 
@@ -468,7 +489,7 @@ class CBS:
                     break
                 path_tiles.append(jnp.asarray(out.trajs_final))
                 root.ix_best.append(int(out.idx_best_traj))
-                if time.time() - t_start > runtime_limit:
+                if over_limit():
                     status = TrialSuccessStatus.FAIL_RUNTIME_LIMIT
                     break
             if status == TrialSuccessStatus.UNKNOWN:
@@ -503,7 +524,7 @@ class CBS:
             else:
                 self.expand(state)
                 num_expansions += 1
-            if time.time() - t_start > runtime_limit:
+            if over_limit():
                 status = TrialSuccessStatus.FAIL_RUNTIME_LIMIT
                 break
 
@@ -688,10 +709,12 @@ class CBS:
                                     self._fetch(outs[1:], phase="greedy"))
 
     def _process_greedy(self, state: SearchState, trajs,
-                        scalars) -> int:
+                        scalars, validate: bool = True) -> int:
         """Validate one fused greedy run's records against the open list and
-        materialize the accepted expansions (shared by `_expand_greedy` and
-        the fused root+greedy path)."""
+        materialize the accepted expansions (shared by `_expand_greedy`,
+        the fused root+greedy path, and — with validate=False — the
+        parallel-descent frontier, whose throughput mode accepts the whole
+        speculative chain instead of stopping when an open node ties it)."""
         (agents_k, free_k, ix_k, counts_k, t_k, a_k, b_k, mid_k, chosen_k,
          valid_k) = scalars
         k_iters = len(valid_k)
@@ -771,7 +794,8 @@ class CBS:
                 + ([other.n_conflicts] if other is not None else []),
                 default=None)
             if chosen.n_conflicts == 0 or (
-                    min_open is not None and chosen.n_conflicts > min_open):
+                    validate and min_open is not None
+                    and chosen.n_conflicts > min_open):
                 if self.greedy_audit is not None:
                     self.greedy_audit.append(
                         ("stop", chosen.n_conflicts, min_open))
@@ -792,22 +816,30 @@ class CBS:
         return accepted
 
     def _expand_frontier(self, state: SearchState) -> int:
-        """Expand `state` plus up to frontier_width-1 more open nodes in ONE
-        device call (fused.frontier_expand). Returns the number of nodes
-        expanded (0 = not applicable; caller falls back to greedy/expand).
+        """Run k-step speculative greedy descents from `state` plus up to
+        frontier_width-1 more open nodes in ONE device call
+        (fused.frontier_greedy_expand). Returns the number of accepted
+        expansions (0 = not applicable; caller falls back to greedy/expand).
 
-        Soundness: each child is its parent's exact single-node expansion
-        (same constraint accumulation, least-collisions selection, conflict
-        summary); all children enter the open list, no node is dropped.
-        Under ECBS a node with a soft-starved child falls back to the
-        batched expansion path, whose hard-only retry recovers it."""
+        Depth x breadth: the single-expansion frontier variant measurably
+        lost to the plain greedy descent on dense instances (Conveyor vd,
+        20 agents, 60 s protocol: 0/10 at width 4 vs 3/10 greedy-only —
+        near-tied siblings soaked the budget one level deep), so throughput
+        mode now runs M parallel DESCENTS. Soundness: each accepted step is
+        its parent's exact single-node expansion (same constraint
+        accumulation, least-collisions selection, conflict summary) and
+        every child enters the open list — only the best-first expansion
+        ORDER is relaxed (validate=False in _process_greedy), which is the
+        documented semantics of frontier_width > 1. Under ECBS a node with
+        a soft-starved child falls back to the batched expansion path,
+        whose hard-only retry recovers it."""
         if len(self.open_l) == 0:
             return 0
         K0 = self._greedy_kbuf(state)
         if K0 is None:
             return 0
         from mmd_tpu.models.diffusion import HardConds
-        from mmd_tpu.planners.multi_agent.fused import frontier_expand
+        from mmd_tpu.planners.multi_agent.fused import frontier_greedy_expand
 
         # Gather the top-M eligible nodes (open_l is already sorted; every
         # open node has > 0 conflicts here, since the popped `state` was the
@@ -866,11 +898,12 @@ class CBS:
                       jnp.asarray(cflt[:, 2], jnp.int32),
                       jnp.asarray(cflt[:, 3], jnp.int32),
                       jnp.asarray(mid_m))
-        keys = self._team_keys(2 * M).reshape(M, 2, 2)
+        k_iters = self.GREEDY_ITERS
+        keys = self._team_keys(M * 2 * k_iters).reshape(M, k_iters, 2, 2)
         paths_m = jnp.stack([n.paths_all for n in nodes])
         ix_m = jnp.asarray([n.ix_best for n in nodes], jnp.int32)
 
-        out = frontier_expand(
+        out = frontier_greedy_expand(
             p0.model.apply, p0.params, p0.schedule, self._hard_all, keys,
             p0.cfg, p0.guide_cfg, p0.task.scene, p0.dataset.normalizer,
             p0.robot.radius, p0.robot.q_min, p0.robot.q_max, p0._savgol,
@@ -882,40 +915,25 @@ class CBS:
             default_params.weight_grad_cost_soft_constraints,
             use_soft=self.is_ecbs, local=self.is_xcbs,
             n_noise=default_params.n_local_inference_noising_steps,
-            n_denoise=default_params.n_local_inference_denoising_steps)
-        trajs = out[0]                                  # (M, 2, B, H, D)
-        free_m, ix_k, count_k, t_k, a_k, b_k, mid_k, agents_m = self._fetch(
-            out[1:], phase="frontier")
+            n_denoise=default_params.n_local_inference_denoising_steps,
+            k_iters=k_iters)
+        trajs_m = out[0]                        # (M, k, 2, B, H, D), device
+        scalars_m = self._fetch(out[1:], phase="frontier")
 
-        t_pad = 2
+        accepted = 0
         for m, node in enumerate(nodes):
-            if self.is_ecbs and not all(bool(f) for f in free_m[m]):
-                # Soft-starved child: the batched path's hard-only retry
-                # recovers it; discard this node's frontier children to
-                # avoid duplicates.
+            acc = self._process_greedy(
+                node, trajs_m[m],
+                tuple(np.asarray(x[m]) for x in scalars_m), validate=False)
+            if acc == 0:
+                # Chain froze immediately (soft-starved children or a
+                # constraint-buffer overflow): recover through the batched
+                # expansion path, exactly as _expand_greedy's caller does.
                 self.expand(node)
-                continue
-            lo = int(np.clip(node.first_conflict.t_from - t_pad, 0, H_all - 1))
-            hi = int(np.clip(node.first_conflict.t_to + t_pad, 0, H_all - 1))
-            mid = np.asarray(node.first_conflict.q_l[0], np.float32)[:2]
-            for idx in range(2):
-                if not bool(free_m[m, idx]):
-                    self._log("Failed to find valid path in CT node.")
-                    continue  # reference cbs.py:433-435
-                agent = int(agents_m[m, idx])
-                child = node.get_copy()
-                child.add_constraint(agent, MultiPointConstraint(
-                    q_l=[mid], t_range_l=[(lo, hi)],
-                    radius_l=[default_params.vertex_constraint_radius]))
-                child.paths_all = node.paths_all.at[agent].set(trajs[m, idx])
-                child.ix_best[agent] = int(ix_k[m, idx])
-                child.n_conflicts = int(count_k[m, idx])
-                child.first_conflict = (
-                    self._mk_conflict(t_k[m, idx], a_k[m, idx], b_k[m, idx],
-                                      mid_k[m, idx])
-                    if count_k[m, idx] else None)
-                self.open_l.append(child)
-        return M
+                accepted += 1
+            else:
+                accepted += acc
+        return accepted
 
     def _expand_children_batched(self, state: SearchState, constraints,
                                  H_all: int) -> bool:

@@ -417,6 +417,72 @@ def test_frontier_child_matches_greedy_first_iteration(trained_setup):
     np.testing.assert_allclose(ft[0], gt[0], rtol=1e-5, atol=1e-6)
 
 
+def test_frontier_greedy_matches_per_node_greedy(trained_setup):
+    """Device-level equivalence of the parallel-descent frontier: for the
+    SAME nodes, buffers, and per-node PRNG keys,
+    `fused.frontier_greedy_expand` (M=2) must reproduce
+    `fused.greedy_expand`'s full k-iteration records for each node — the
+    frontier is literally a vmap of the greedy program over the node axis,
+    so throughput mode explores exactly the chains M sequential greedy
+    calls would."""
+    from mmd_tpu.config import params as default_params
+    from mmd_tpu.models.diffusion import HardConds
+
+    cbs = _xecbs(trained_setup)
+    root, _ = cbs._plan_root_greedy()
+    assert root is not None and root.n_conflicts > 0
+
+    p0 = cbs.low_level_planner_l[0]
+    A = cbs.num_agents
+    K = cbs.GREEDY_KBUFS[0]
+    k_iters = 2
+    hard_all = HardConds(
+        mask=p0.hard_conds.mask,
+        values=jnp.stack([p.hard_conds.values
+                          for p in cbs.low_level_planner_l]))
+    cons_q = jnp.zeros((A, K, 2), jnp.float32)
+    cons_t = jnp.zeros((A, K, 2), jnp.float32)
+    cons_n = jnp.zeros((A,), jnp.int32)
+    fc = root.first_conflict
+    conflict0 = (jnp.asarray(root.n_conflicts, jnp.int32),
+                 jnp.asarray(fc.t_from, jnp.int32),
+                 jnp.asarray(fc.agent_ids[0], jnp.int32),
+                 jnp.asarray(fc.agent_ids[1], jnp.int32),
+                 jnp.asarray(fc.q_l[0], jnp.float32)[:2])
+    keys_m = jax.random.split(jax.random.PRNGKey(7),
+                              2 * k_iters * 2).reshape(2, k_iters, 2, 2)
+    common_tail = (cbs.margin,
+                   default_params.vertex_constraint_radius,
+                   default_params.weight_grad_cost_constraints,
+                   default_params.vertex_constraint_radius,
+                   default_params.weight_grad_cost_soft_constraints)
+    static = dict(use_soft=True, local=True,
+                  n_noise=default_params.n_local_inference_noising_steps,
+                  n_denoise=default_params.n_local_inference_denoising_steps,
+                  k_iters=k_iters)
+    shared = (p0.model.apply, p0.params, p0.schedule, hard_all)
+    inv = (p0.cfg, p0.guide_cfg, p0.task.scene, p0.dataset.normalizer,
+           p0.robot.radius, p0.robot.q_min, p0.robot.q_max, p0._savgol)
+
+    ixb = jnp.asarray(root.ix_best, jnp.int32)
+    # Two "nodes": the root twice, with different key streams.
+    outs_f = fused.frontier_greedy_expand(
+        *shared, keys_m, *inv, root.paths_all[None].repeat(2, 0),
+        ixb[None].repeat(2, 0), cons_q[None].repeat(2, 0),
+        cons_t[None].repeat(2, 0), cons_n[None].repeat(2, 0),
+        tuple(jnp.stack([c, c]) for c in conflict0), *common_tail, **static)
+    outs_f = [np.asarray(x) for x in outs_f]
+
+    for m in range(2):
+        outs_g = fused.greedy_expand(
+            *shared, keys_m[m], *inv, root.paths_all, ixb, cons_q, cons_t,
+            cons_n, conflict0, *common_tail, **static)
+        outs_g = [np.asarray(x) for x in outs_g]
+        for f_leaf, g_leaf in zip(outs_f, outs_g):
+            np.testing.assert_allclose(f_leaf[m], g_leaf, rtol=2e-5,
+                                       atol=1e-5)
+
+
 def test_frontier_width_search_sound(trained_setup, monkeypatch):
     """End-to-end: frontier_width=4 on the dense instance reaches a
     collision-free solution with >= one genuinely multi-node frontier round.
