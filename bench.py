@@ -114,12 +114,25 @@ def main():
 
     watchdog = _arm_watchdog()
 
+    # FLOP accounting for the MFU line: every fused-program dispatcher
+    # records its static UNet-forward count (scan trip counts are compiled
+    # shapes, so XLA's cost_analysis — which counts loop bodies once —
+    # cannot; see utils/baked.py). bench multiplies the accumulated eval
+    # count by the exactly-measured FLOPs of one scan-free UNet forward at
+    # the planning batch. Greedy while_loops may exit early, so the count
+    # (and hence MFU) is an upper bound there.
+    from mmd_tpu.utils import baked
+    record_flops = os.environ.get("MMD_BENCH_FLOPS", "1") not in (
+        "0", "", "false")
+    baked.RECORD_COSTS = record_flops
+
     # Warmup round compiles every shape bucket; the measured round reuses
     # the same planner/model objects (so every jit signature is warm) with a
     # fresh search and fresh PRNG keys.
     planners, starts, goals = build_planners(seed=0)
     team = make_team_planner(planners, starts, goals)
     team.plan(runtime_limit=600)
+    baked.reset_flop_counters()  # count the measured round only
 
     team2 = make_team_planner(planners, starts, goals)
     # MMD_BENCH_TRACE=<dir>: wrap the measured run in the XLA profiler so
@@ -160,6 +173,28 @@ def main():
         for k, v in sorted(timing.items()):
             if k.startswith("device_") and k.endswith("_s") and k != "device_s":
                 result[k] = round(v, 4)
+    if record_flops:
+        # MFU of the flagship inference program: analytic UNet-forward
+        # count (recorded per dispatched program; upper bound where a
+        # greedy while_loop can exit early) times the XLA-measured FLOPs
+        # of ONE scan-free UNet forward at the planning batch, over
+        # blocking device time, against the chip's bf16 MXU peak
+        # (utils/profiling.py). Guide/SDF/selection FLOPs are excluded —
+        # the numerator is model math, the standard MFU convention.
+        from mmd_tpu.utils.profiling import tpu_peak_flops
+        p0 = planners[0]
+        cfg = p0.cfg
+        x = jnp.zeros((cfg.n_samples, cfg.horizon, cfg.state_dim))
+        t = jnp.zeros((cfg.n_samples,), jnp.int32)
+        fwd_flops = baked.xla_flops(
+            jax.jit(p0.model.apply), p0.params, x, t)
+        flops = baked.UNET_EVALS * fwd_flops
+        peak = tpu_peak_flops()
+        dev_s = result.get("device_s", wall)
+        result["unet_evals"] = int(baked.UNET_EVALS)
+        result["model_gflops"] = round(flops / 1e9, 2)
+        if peak and dev_s > 0:
+            result["mfu_pct"] = round(100.0 * flops / dev_s / peak, 3)
     if os.environ.get("MMD_BENCH_DECOMPOSE"):
         # Split the fused root+greedy call: time the root program alone
         # (sequential soft scan for ECBS variants, batched otherwise);

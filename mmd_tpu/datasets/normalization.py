@@ -87,17 +87,41 @@ def fixed_limits_normalizer(state_dim: int, low: float = -1.0,
                             maxs=jnp.full((state_dim,), high, jnp.float32))
 
 
-def safe_limits_from_data(x: jax.Array, margin_ratio: float = 0.0) -> LimitsNormalizer:
-    """SafeLimitsNormalizer: widen degenerate (min==max) dims by eps.
+def safe_limits_from_data(x: jax.Array, eps: float = 1.0) -> LimitsNormalizer:
+    """SafeLimitsNormalizer: LimitsNormalizer that tolerates constant dims.
 
-    reference: mmd/datasets/normalization.py:171-186.
+    reference: mmd/datasets/normalization.py:171-186. The reference loops
+    over dimensions and, for EACH degenerate dim (min == max), widens
+    EVERY dim's limits by eps (`self.mins -= eps`, `self.maxs += eps` are
+    whole-array ops inside the per-dim loop). We match that semantics
+    bit-for-bit — including the quirk that one constant dim widens all
+    dims — so normalizers fit on the same data agree with the reference.
+    Real trajectory datasets have no constant dims, where this reduces to
+    a plain LimitsNormalizer.
     """
     flat = x.reshape(-1, x.shape[-1])
     mins = flat.min(axis=0)
     maxs = flat.max(axis=0)
-    degenerate = maxs - mins < 1e-8
-    eps = jnp.where(degenerate, 1.0, margin_ratio * (maxs - mins))
-    return LimitsNormalizer(mins=mins - eps * degenerate, maxs=maxs + eps * degenerate)
+    n_degenerate = jnp.sum(mins == maxs)
+    pad = eps * n_degenerate
+    return LimitsNormalizer(mins=mins - pad, maxs=maxs + pad)
+
+
+def make_normalizer(name: str, x: jax.Array):
+    """Normalizer factory over the reference's four-name kwarg surface
+    (reference: mmd/datasets/trajectories.py:28 `'LimitsNormalizer'`
+    default; normalization.py:120,145,171,188 for the four classes)."""
+    if name == "LimitsNormalizer":
+        return LimitsNormalizer.from_data(x)
+    if name == "GaussianNormalizer":
+        return GaussianNormalizer.from_data(x)
+    if name == "SafeLimitsNormalizer":
+        return safe_limits_from_data(x)
+    if name == "FixedLimitsNormalizer":
+        return fixed_limits_normalizer(x.shape[-1])
+    raise ValueError(f"Unknown normalizer {name!r}; expected one of "
+                     "LimitsNormalizer, GaussianNormalizer, "
+                     "SafeLimitsNormalizer, FixedLimitsNormalizer")
 
 
 Normalizer = LimitsNormalizer  # default, matching trajectories.py:28

@@ -17,7 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 import yaml
 
-from mmd_tpu.datasets.normalization import LimitsNormalizer, safe_limits_from_data
+from mmd_tpu.datasets.normalization import (LimitsNormalizer,
+                                            make_normalizer,
+                                            safe_limits_from_data)
 from mmd_tpu.envs.envs import make_env
 from mmd_tpu.models.diffusion import HardConds
 from mmd_tpu.robots.disk import DiskRobot
@@ -39,7 +41,8 @@ class TrajectoryDataset:
 
     def __init__(self, trajs: np.ndarray, env_name: str,
                  robot: Optional[DiskRobot] = None,
-                 duration: float = 5.0):
+                 duration: float = 5.0,
+                 normalizer: str = "SafeLimitsNormalizer"):
         assert trajs.ndim == 3, trajs.shape
         self.env_name = env_name
         # Physical trajectory duration in seconds. The reference fixes 5.0 s
@@ -50,9 +53,12 @@ class TrajectoryDataset:
         self.task = PlanningTask(make_env(env_name), self.robot)
         self.trajs = jnp.asarray(trajs, jnp.float32)          # (N, H, D)
         self.n_trajs, self.n_support_points, self.state_dim = trajs.shape
-        # reference: LimitsNormalizer fit on the trajectory field (:80-82);
-        # safe variant guards constant dims (e.g. all-equal velocities).
-        self.normalizer = safe_limits_from_data(self.trajs)
+        # reference: normalizer named by kwarg, fit on the trajectory field
+        # (:28 default 'LimitsNormalizer', :80-82); all four reference names
+        # are accepted. Our default is the safe variant — identical to
+        # LimitsNormalizer on real data (no constant dims), and it guards
+        # degenerate synthetic fixtures.
+        self.normalizer = make_normalizer(normalizer, self.trajs)
         self.trajs_normalized = self.normalizer.normalize(self.trajs)
 
     # ------------------------------------------------------------- batches

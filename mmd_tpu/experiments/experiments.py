@@ -41,6 +41,9 @@ class MultiAgentPlanningSingleTrialConfig:
     # CT nodes per fused device call (cbs.CBS frontier_width). 1 keeps the
     # reference's one-node-per-round order.
     frontier_width: int = 1
+    # bfloat16 UNet inference (guide/posterior/selection stay f32) — the
+    # numerics bench.py measures; MODEL_EVAL.yaml carries quality parity.
+    bf16: bool = False
 
 
 @dataclasses.dataclass
@@ -57,6 +60,7 @@ class MultiAgentPlanningExperimentConfig:
     num_trials_per_combination: int = 1
     render_animation: bool = False
     frontier_width: int = 1  # forwarded to every CBS-family trial
+    bf16: bool = False       # forwarded to every trial's UNet inference
 
     def get_single_trial_configs_from_experiment_config(self):
         """Same start/goals reused across planners per trial
@@ -85,6 +89,7 @@ class MultiAgentPlanningExperimentConfig:
                         runtime_limit=self.runtime_limit,
                         render_animation=self.render_animation,
                         frontier_width=getattr(self, "frontier_width", 1),
+                        bf16=getattr(self, "bf16", False),
                     )
                     (c.start_state_pos_l, c.goal_state_pos_l,
                      c.global_model_ids, c.agent_skeleton_l) = problems[trial_number]

@@ -92,14 +92,15 @@ def default_registry() -> ModelRegistry:
 def build_agent_planner(registry: ModelRegistry, model_ids: List[str],
                         transforms: np.ndarray, start_global: np.ndarray,
                         goal_global: np.ndarray, seed: int = 0,
-                        cfg: Optional[DiffusionConfig] = None):
+                        cfg: Optional[DiffusionConfig] = None,
+                        bf16: bool = False):
     """Single-tile skeleton -> MPD (local frame); longer -> MPDEnsemble."""
     if len(model_ids) == 1:
         model, params, schedule, dataset = registry.get(model_ids[0])
         start_local = np.asarray(start_global) - transforms[0]
         goal_local = np.asarray(goal_global) - transforms[0]
         return MPD(model, params, schedule, dataset, jnp.asarray(start_local),
-                   jnp.asarray(goal_local), cfg=cfg, seed=seed)
+                   jnp.asarray(goal_local), cfg=cfg, seed=seed, bf16=bf16)
     models, params_l, datasets = [], [], []
     schedule = None
     for mid in model_ids:
@@ -110,7 +111,7 @@ def build_agent_planner(registry: ModelRegistry, model_ids: List[str],
         schedule = sched
     return MPDEnsemble(models, params_l, schedule, datasets, transforms,
                        np.asarray(start_global), np.asarray(goal_global),
-                       cfg=cfg, seed=seed)
+                       cfg=cfg, seed=seed, bf16=bf16)
 
 
 def make_team_planner(planner_class: str, low_level_planner_l, start_l, goal_l,
@@ -180,7 +181,8 @@ def run_multi_agent_trial(cfg: MultiAgentPlanningSingleTrialConfig,
                                             # trial an identical replica.
                                             seed=(default_params.seed + i
                                                   + 1009 * cfg.trial_number),
-                                            cfg=diffusion_cfg))
+                                            cfg=diffusion_cfg,
+                                            bf16=getattr(cfg, "bf16", False)))
 
     # Reference task/robot spanning all tiles (reference :163-190).
     all_coords = [[r, c] for r in range(len(global_model_ids))

@@ -181,6 +181,16 @@ def plan_prioritized_scan(apply_fn, params, schedule, hard_team: HardConds,
             team_conflict_summary(sel_pos, margin))
 
 
+def _add_team_evals(cfg, hard_team: "HardConds") -> None:
+    """FLOP accounting (utils/baked.py): a team program runs one full
+    guided loop per agent — A * (n_steps + no-noise tail) UNet forwards."""
+    from mmd_tpu.utils.baked import add_unet_evals
+
+    add_unet_evals(hard_team.values.shape[0]
+                   * (cfg.n_diffusion_steps
+                      + cfg.n_diffusion_steps_without_noise))
+
+
 def _planner_bake(p0):
     """(invariant operands, their cache-key digests) for closure baking."""
     from mmd_tpu.utils.baked import bake_key
@@ -230,6 +240,7 @@ def plan_prioritized_device(planners: List, keys: Optional[jax.Array] = None,
                 savgol, cons_radius, hard_weight, margin)
         return fn
 
+    _add_team_evals(cfg, hard_team)
     return baked_program(ckey, build)(hard_team.values, keys)
 
 
@@ -293,6 +304,7 @@ def plan_fresh_team_soft_device(p0, hard_team: HardConds, soft_team,
                 q_max, savgol)
         return fn
 
+    _add_team_evals(cfg, hard_team)
     return baked_program(ckey, build)(hard_team.values, soft_team, keys)
 
 
@@ -458,6 +470,7 @@ def plan_team_roots_device(planners: List, keys: Optional[jax.Array] = None,
             return plan_fresh_team(*common)
         return fn
 
+    _add_team_evals(cfg, hard_team)
     out = baked_program(ckey, build)(hard_team.values, keys)
     if summary_margin is not None:
         res, summary = out
@@ -505,4 +518,5 @@ def plan_team_roots_sequential_soft_device(planners: List,
             return plan_sequential_root_soft(*common)
         return fn
 
+    _add_team_evals(cfg, hard_team)
     return baked_program(ckey, build)(hard_team.values, keys)

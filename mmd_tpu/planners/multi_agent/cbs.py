@@ -172,6 +172,11 @@ class CBS:
         # only the host-side expansion ORDER generalizes from "one best
         # node per round trip" to "M best nodes". 1 = reference order.
         self.frontier_width = max(1, int(frontier_width))
+        if self.frontier_width & (self.frontier_width - 1):
+            self._log(
+                f"frontier_width={self.frontier_width} is not a power of "
+                "two; frontier batches are power-of-two shaped, so it runs "
+                f"as width {1 << (self.frontier_width.bit_length() - 1)}.")
         # Test/diagnostic hook: when set to a list, the greedy CT search
         # appends one event per speculative step — ("step", parent_conflicts,
         # open_list_min) before each accepted expansion, plus ("freeze",),
@@ -379,8 +384,13 @@ class CBS:
         t_start = time.time()
 
         def over_limit() -> bool:
-            return (time.time() - t_start - compile_acc["compile_s"]
-                    > runtime_limit)
+            elapsed = time.time() - t_start
+            # XLA compiles programs on parallel threads, so the SUM of
+            # compile-event durations can exceed wall time; cap the
+            # exclusion at elapsed so search time is never negative (a
+            # negative budget must always be over limit).
+            return elapsed - min(compile_acc["compile_s"], elapsed) \
+                > runtime_limit
         status = TrialSuccessStatus.UNKNOWN
         state = root = SearchState(None, [])
 
@@ -504,6 +514,14 @@ class CBS:
         # ---- search ----------------------------------------------------
         best_seen = state if state.paths_all is not None else None
         while status == TrialSuccessStatus.UNKNOWN:
+            # Deadline BEFORE pop/success-check (reference cbs.py:366-389
+            # order): a 0-conflict node that materialized past the budget —
+            # e.g. in a fused expansion call straddling the deadline — is a
+            # near-miss, not a win. The anytime return below still surfaces
+            # its paths; only the status is strict.
+            if over_limit():
+                status = TrialSuccessStatus.FAIL_RUNTIME_LIMIT
+                break
             if not self.open_l:
                 status = TrialSuccessStatus.FAIL_NO_SOLUTION
                 break
@@ -524,21 +542,20 @@ class CBS:
             else:
                 self.expand(state)
                 num_expansions += 1
-            if over_limit():
-                status = TrialSuccessStatus.FAIL_RUNTIME_LIMIT
-                break
 
         if anytime and status == TrialSuccessStatus.FAIL_RUNTIME_LIMIT:
             # Anytime return: the least-conflicted node anywhere in the
-            # search — popped-and-expanded (best_seen) or still open. A
-            # 0-conflict open node IS a solution the next pop would have
-            # returned; report it as one.
+            # search — popped-and-expanded (best_seen) or still open. The
+            # STATUS stays FAIL_RUNTIME_LIMIT even if a 0-conflict node sits
+            # in the open list: the reference protocol counts a deadline
+            # miss as a failure (reference cbs.py:366-389), and fused
+            # expansion calls can land past the deadline — promoting those
+            # to SUCCESS would inflate head-to-head success-rate tables.
+            # The returned paths/residual still reflect the best near-miss.
             cands = ([best_seen] if best_seen is not None else []) + [
                 n for n in self.open_l if n.paths_all is not None]
             if cands:
                 state = min(cands, key=lambda s: s.n_conflicts)
-                if state.n_conflicts == 0:
-                    status = TrialSuccessStatus.SUCCESS
         if state.paths_all is None:
             return [], num_expansions, status, 0
         best_path_l = global_pad_paths(state.best_paths(), self.start_time_l)
@@ -844,8 +861,7 @@ class CBS:
         # Gather the top-M eligible nodes (open_l is already sorted; every
         # open node has > 0 conflicts here, since the popped `state` was the
         # minimum and had > 0).
-        nodes = [state]
-        kbuf = K0
+        nodes = [(state, K0)]
         rest = []
         for n in self.open_l:
             if len(nodes) >= self.frontier_width:
@@ -855,19 +871,24 @@ class CBS:
             if Kn is None:
                 rest.append(n)
             else:
-                kbuf = max(kbuf, Kn)
-                nodes.append(n)
+                nodes.append((n, Kn))
         # M is a compiled shape: bucket to powers of two so a search compiles
         # at most log2(width) frontier variants (the persistent cache then
-        # covers every later trial).
+        # covers every later trial). A non-power-of-two frontier_width runs
+        # as the next LOWER power (warned once at construction).
         M = 1
         while M * 2 <= len(nodes):
             M *= 2
         if M < 2:
             return 0  # nothing to batch; greedy descent handles one node
-        rest = nodes[M:] + rest
+        rest = [n for n, _ in nodes[M:]] + rest
         nodes = nodes[:M]
         self.open_l = rest
+        # The buffer size is a compiled shape too: size it over the RETAINED
+        # nodes only, so a node trimmed into `rest` can't force the large
+        # 48-row variant when all M kept nodes fit the 16-row one.
+        kbuf = max(k for _, k in nodes)
+        nodes = [n for n, _ in nodes]
 
         planners = self.low_level_planner_l
         p0 = planners[0]

@@ -45,8 +45,17 @@ from mmd_tpu.planners.single_agent.mpd import _finalize_plan
 # ---------------------------------------------------------------------------
 from mmd_tpu.utils.baked import (        # noqa: E402
     PROGRAM_CACHE as _PROGRAM_CACHE,
+    add_unet_evals as _add_evals,
     bake_key as _bake_key,
+    record_call as _record,
 )
+
+
+def _loop_evals(cfg: "DiffusionConfig", local: bool, n_denoise: int) -> int:
+    """UNet forwards one guided_p_sample_loop executes: the (possibly
+    shortened, XCBS-local) denoise scan plus the no-noise tail."""
+    steps = n_denoise if local else cfg.n_diffusion_steps
+    return steps + cfg.n_diffusion_steps_without_noise
 
 
 def _select_and_update(res, paths_all, ix_best, agent_idx, margin):
@@ -88,7 +97,8 @@ def expand_fresh(apply_fn, params, schedule, hard: HardConds, gd: GuideData,
                                       margin)
 
         _PROGRAM_CACHE[ckey] = fn
-    return fn(hard.values, gd.constraints, gd.soft_paths, key, paths_all,
+    _add_evals(_loop_evals(cfg, False, 0))
+    return _record(ckey, fn)(hard.values, gd.constraints, gd.soft_paths, key, paths_all,
               ix_best, agent_idx)
 
 
@@ -138,7 +148,8 @@ def expand_children(apply_fn, params, schedule, hard_c: HardConds,
                 n_noise=n_noise, n_denoise=n_denoise)
 
         _PROGRAM_CACHE[ckey] = fn
-    return fn(hard_c.values, cset_c, keys, paths_all, ix_best, agent_ids)
+    _add_evals(hard_c.values.shape[0] * _loop_evals(cfg, local, n_denoise))
+    return _record(ckey, fn)(hard_c.values, cset_c, keys, paths_all, ix_best, agent_ids)
 
 
 def _expand_children_core(apply_fn, params, schedule, hard_c: HardConds,
@@ -410,7 +421,10 @@ def greedy_expand(apply_fn, params, schedule, hard_all: HardConds, keys,
                 n_denoise=n_denoise, k_iters=k_iters, t_pad=t_pad)
 
         _PROGRAM_CACHE[ckey] = fn
-    return fn(hard_all.values, keys, paths_all, ix_best, cons_q, cons_t,
+    # Upper bound: the k_iters greedy while_loop can exit early on a
+    # conflict-free accept (see module-level note in utils/baked.py).
+    _add_evals(k_iters * 2 * _loop_evals(cfg, local, n_denoise))
+    return _record(ckey, fn)(hard_all.values, keys, paths_all, ix_best, cons_q, cons_t,
               cons_n, conflict0)
 
 
@@ -466,7 +480,8 @@ def frontier_expand(apply_fn, params, schedule, hard_all: HardConds, keys,
                 n_denoise=n_denoise, t_pad=t_pad)
 
         _PROGRAM_CACHE[ckey] = fn
-    return fn(hard_all.values, keys, paths_m, ix_m, cons_q_m, cons_t_m,
+    _add_evals(paths_m.shape[0] * 2 * _loop_evals(cfg, local, n_denoise))
+    return _record(ckey, fn)(hard_all.values, keys, paths_m, ix_m, cons_q_m, cons_t_m,
               cons_n_m, conflict_m)
 
 
@@ -525,7 +540,10 @@ def frontier_greedy_expand(apply_fn, params, schedule, hard_all: HardConds,
                                       cons_t_m, cons_n_m, conflict_m)
 
         _PROGRAM_CACHE[ckey] = fn
-    return fn(hard_all.values, keys_m, paths_m, ix_m, cons_q_m, cons_t_m,
+    # Upper bound: each node's k_iters greedy chain can freeze early.
+    _add_evals(paths_m.shape[0] * k_iters * 2
+               * _loop_evals(cfg, local, n_denoise))
+    return _record(ckey, fn)(hard_all.values, keys_m, paths_m, ix_m, cons_q_m, cons_t_m,
               cons_n_m, conflict_m)
 
 
@@ -638,7 +656,10 @@ def root_greedy(apply_fn, params, schedule, hard_team: HardConds, base_cset,
                 sequential_root=sequential_root)
 
         _PROGRAM_CACHE[ckey] = fn
-    return fn(hard_team.values, keys_root, keys_greedy)
+    # Root: one full loop per agent. Greedy tail: upper bound (early exit).
+    _add_evals(hard_team.values.shape[0] * _loop_evals(cfg, False, 0)
+               + k_iters * 2 * _loop_evals(cfg, local, n_denoise))
+    return _record(ckey, fn)(hard_team.values, keys_root, keys_greedy)
 
 
 def _root_greedy_core(apply_fn, params, schedule, hard_team: HardConds,
@@ -842,5 +863,6 @@ def expand_local(apply_fn, params, schedule, hard: HardConds, gd: GuideData,
                                       margin)
 
         _PROGRAM_CACHE[ckey] = fn
-    return fn(hard.values, gd.constraints, gd.soft_paths, key, paths_all,
+    _add_evals(_loop_evals(cfg, True, n_denoise))
+    return _record(ckey, fn)(hard.values, gd.constraints, gd.soft_paths, key, paths_all,
               ix_best, agent_idx)

@@ -14,6 +14,19 @@ Cache keys digest each invariant by VALUE (shape/dtype/content hash),
 memoized by object identity so the per-call cost is dict lookups: value
 keying lets every trial in a sweep — which rebuilds MPD objects but shares
 params/dataset via the model cache — reuse one compiled program.
+
+Cache contract:
+- Baked operands are FROZEN at first digest: jax.Array leaves are
+  immutable by construction, and numpy leaves get writeable=False set in
+  place, so a later in-place mutation raises ValueError instead of
+  silently reusing a program with stale constants baked in. Pytrees
+  holding leaves that can't be frozen (non-array objects converted by
+  np.asarray) are re-digested on every call — correct under mutation,
+  just slower.
+- Both caches hold strong references (params, scenes, compiled
+  executables) for the process lifetime — bounded in practice by the
+  handful of model variants a sweep touches. Long-lived processes cycling
+  through MANY models should call `clear_program_cache()` between phases.
 """
 from __future__ import annotations
 
@@ -25,9 +38,69 @@ import numpy as np
 _BAKE_KEYS: dict = {}     # id(obj) -> ((digest...), strong ref)
 PROGRAM_CACHE: dict = {}
 
+# FLOP accounting (bench.py MFU line). XLA's cost_analysis counts each
+# lax.scan/while_loop BODY once, so it undercounts the fused planner
+# programs (25-step samplers, k-step greedy chains) by their trip counts.
+# Model FLOPs are therefore counted ANALYTICALLY: every fused-program
+# dispatcher calls add_unet_evals() with the program's static UNet-forward
+# count (trip counts are compiled shapes, known at dispatch), and bench.py
+# multiplies the accumulated eval count by the exactly-measured FLOPs of a
+# single scan-free UNet forward at the planning batch. Greedy chains are
+# while_loops that may exit early, so the count is an UPPER bound (on the
+# flagship path the chain runs to completion, so it is exact there).
+RECORD_COSTS = False
+UNET_EVALS = 0.0           # accumulated UNet forwards (each at batch B)
+PROGRAM_NCALLS: dict = {}  # key -> invocations (device-call audit)
+
+
+def clear_program_cache() -> None:
+    """Drop every memoized digest and compiled program (frees the pinned
+    params/scene/executable references for long sweep processes)."""
+    _BAKE_KEYS.clear()
+    PROGRAM_CACHE.clear()
+    PROGRAM_NCALLS.clear()
+
+
+def reset_flop_counters() -> None:
+    global UNET_EVALS
+    UNET_EVALS = 0.0
+    PROGRAM_NCALLS.clear()
+
+
+def add_unet_evals(n: float) -> None:
+    """Record `n` UNet forward evaluations (each over the planning batch)
+    about to execute in a fused device program. No-op unless RECORD_COSTS."""
+    if RECORD_COSTS:
+        global UNET_EVALS
+        UNET_EVALS += n
+
+
+def xla_flops(fn, *args, **kwargs) -> float:
+    """XLA cost-analysis FLOPs of jitted `fn` at these args (one AOT
+    lower+compile; the XLA persistent cache dedupes the backend compile)."""
+    ca = fn.lower(*args, **kwargs).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return float((ca or {}).get("flops", 0.0))
+
+
+def _recording(key: tuple, fn: Callable) -> Callable:
+    def wrapped(*args, **kwargs):
+        PROGRAM_NCALLS[key] = PROGRAM_NCALLS.get(key, 0) + 1
+        return fn(*args, **kwargs)
+
+    return wrapped
+
 
 def bake_key(x):
-    """Value digest of a jit operand destined to be baked as a constant."""
+    """Value digest of a jit operand destined to be baked as a constant.
+
+    Digesting FREEZES the operand (see the module-level cache contract):
+    numpy array leaves get writeable=False set in place, so the id() memo
+    can never serve a stale digest — a later in-place mutation raises
+    ValueError at the mutation site instead. Leaves that np.asarray must
+    CONVERT (non-array objects) can't be frozen at the source, so a pytree
+    holding any such leaf is re-hashed per call (correct, just slower)."""
     if x is None or isinstance(x, (bool, int, float, str)):
         return x
     k = id(x)
@@ -35,21 +108,54 @@ def bake_key(x):
     if hit is None:
         leaves, treedef = jax.tree_util.tree_flatten(x)
         parts = []
+        memo_safe = True
         for leaf in leaves:
             if leaf is None or isinstance(leaf, (bool, int, float, str)):
                 parts.append(leaf)
                 continue
-            a = np.asarray(leaf)
+            if isinstance(leaf, np.ndarray):
+                leaf.flags.writeable = False  # freeze: mutation now raises
+                a = leaf
+            elif isinstance(leaf, (jax.Array, np.generic)):
+                a = np.asarray(leaf)          # immutable already
+            else:
+                a = np.asarray(leaf)          # converted copy: can't freeze
+                memo_safe = False             # the source -> no memo
             parts.append((a.shape, str(a.dtype), hash(a.tobytes())))
-        hit = ((str(treedef), tuple(parts)), x)
+        digest = (str(treedef), tuple(parts))
+        if not memo_safe:
+            return digest
+        hit = (digest, x)
         _BAKE_KEYS[k] = hit
     return hit[0]
 
 
-def baked_program(key: tuple, build: Callable[[], Callable]):
-    """Look up (or build + jit + cache) the closure program for `key`."""
+def record_call(key: tuple, fn: Callable) -> Callable:
+    """Wrap a cached program for FLOP/invocation recording when
+    RECORD_COSTS is on (identity otherwise). Every _PROGRAM_CACHE call
+    site (planners/multi_agent/fused.py, parallel/team.py via
+    baked_program) routes its invocation through this so bench.py's MFU
+    line sees every device program — the flagship's single fused call
+    included."""
+    if RECORD_COSTS:
+        return _recording(key, fn)
+    return fn
+
+
+def get_or_build(key: tuple, build: Callable[[], Callable]):
+    """Look up (or build + cache) the closure program for `key`. `build`
+    must return an ALREADY-jitted callable. Every cache site (here and in
+    planners/multi_agent/fused.py) goes through this so RECORD_COSTS sees
+    every device program — the flagship's single fused call included."""
     fn = PROGRAM_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(build())
+        fn = build()
         PROGRAM_CACHE[key] = fn
+    if RECORD_COSTS:
+        return _recording(key, fn)
     return fn
+
+
+def baked_program(key: tuple, build: Callable[[], Callable]):
+    """Look up (or build + jit + cache) the closure program for `key`."""
+    return get_or_build(key, lambda: jax.jit(build()))

@@ -63,3 +63,32 @@ def compile_time_monitor(out: Optional[dict] = None) -> Iterator[dict]:
         yield acc
     finally:
         monitoring.unregister_event_duration_listener(_listener)
+
+
+# Per-chip peak dense-matmul throughput (FLOP/s) by device kind, bf16 on
+# the MXU — the denominator convention for every MFU number this repo
+# reports (f32 programs are also quoted against the bf16 peak; on TPU the
+# MXU is a bf16-multiply/f32-accumulate array, so there is no separate
+# "f32 peak" to quote). Public figures: v4 275 TF, v5e 197 TF, v5p 459 TF,
+# v6e 918 TF, v2 45 TF, v3 123 TF.
+_TPU_PEAK_BF16 = {
+    "v5 lite": 197e12,   # TPU v5e; jax device_kind "TPU v5 lite"
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v5": 459e12,
+    "v4": 275e12,
+    "v6": 918e12,
+    "v3": 123e12,
+    "v2": 45e12,
+}
+
+
+def tpu_peak_flops(device=None) -> Optional[float]:
+    """Peak bf16 FLOP/s of `device` (default: jax.devices()[0]), or None
+    when the kind is unrecognized (e.g. the CPU test backend)."""
+    d = device if device is not None else jax.devices()[0]
+    kind = getattr(d, "device_kind", "").lower()
+    for sub, peak in _TPU_PEAK_BF16.items():
+        if sub in kind:
+            return peak
+    return None

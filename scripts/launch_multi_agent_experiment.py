@@ -78,6 +78,9 @@ def main():
     ap.add_argument("--frontier_width", type=int, default=1,
                     help="Expand the top-M open CT nodes per fused device "
                          "call (CBS family; 1 = reference expansion order).")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 UNet inference (guide/posterior/selection "
+                         "stay f32) — the numerics bench.py measures.")
     ap.add_argument("--models_dir", default="data_trained_models",
                     help="alternate checkpoint root (e.g. the H=128 "
                          "long-horizon models in data_trained_models_h128)")
@@ -99,6 +102,7 @@ def main():
         runtime_limit=args.runtime_limit,
         stagger_start_time_dt=args.stagger_dt,
         frontier_width=args.frontier_width,
+        bf16=args.bf16,
     )
     analyzed = run_multi_agent_experiment(cfg, registry=registry)
     for n, per_planner in analyzed.items():

@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--runtime_limit", type=float, default=240.0)
     ap.add_argument("--stagger_dt", type=int, default=10)
+    ap.add_argument("--frontier_width", type=int, default=1)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 UNet inference for every tile model.")
     ap.add_argument("--time_str", default=None,
                     help="Reuse results/<time_str> to resume (done trials skip).")
     args = ap.parse_args()
@@ -44,6 +47,8 @@ def main():
             runtime_limit=args.runtime_limit,
             stagger_start_time_dt=args.stagger_dt,
             single_agent_planner_class="MPDEnsemble",
+            frontier_width=args.frontier_width,
+            bf16=args.bf16,
         )
         run_multi_agent_experiment(cfg)
 

@@ -288,25 +288,28 @@ def test_anytime_returns_best_near_miss(trained_setup, monkeypatch):
     # could solve the instance inside its single call) and cut the budget
     # after exactly one expansion round.
     monkeypatch.setattr(cbs, "_greedy_kbuf", lambda state: None)
-    paths, n_exp, status, n_coll = cbs.plan(runtime_limit=0.0)
-    # Almost always FAIL_RUNTIME_LIMIT with a positive residual; if one
-    # expansion round happened to solve the instance, anytime promotes the
-    # 0-conflict open node to SUCCESS (the next pop would have).
+    # A NEGATIVE budget makes the deadline fire on the first check even
+    # under the compile-time exclusion (a 0.0 budget is not deterministic
+    # on a cold backend: excluding compile seconds leaves ~0 s elapsed, so
+    # the search can legitimately POP a 0-conflict node and win). The root
+    # of this instance has conflicts, so exactly one expansion happens and
+    # the search must report FAIL_RUNTIME_LIMIT — the round-5 semantics: a
+    # 0-conflict node merely sitting in the OPEN list at the deadline never
+    # promotes the status to SUCCESS.
+    paths, n_exp, status, n_coll = cbs.plan(runtime_limit=-1.0)
     assert len(paths) == 6
-    if status == TrialSuccessStatus.SUCCESS:
-        assert n_coll == 0
-    else:
-        assert status == TrialSuccessStatus.FAIL_RUNTIME_LIMIT
-        # The residual count is the minimum over every node still open.
-        assert n_coll == min(
-            [n.n_conflicts for n in cbs.open_l] + [n_coll])
-        assert n_coll > 0
+    assert status == TrialSuccessStatus.FAIL_RUNTIME_LIMIT
+    # The residual count is the minimum over every node still open —
+    # even 0-conflict open nodes improve the residual, not the status.
+    assert n_coll == min(
+        [n.n_conflicts for n in cbs.open_l] + [n_coll])
 
     # Fresh planners => identical PRNG streams => the same search tree;
     # anytime's best-seen return can only improve on the last-popped node.
     planners2 = _planners(trained_setup, starts, goals)
     cbs2 = CBS(planners2, starts, goals, is_ecbs=True, is_xcbs=True)
     monkeypatch.setattr(cbs2, "_greedy_kbuf", lambda state: None)
-    paths2, _, status2, n_coll2 = cbs2.plan(runtime_limit=0.0, anytime=False)
+    paths2, _, status2, n_coll2 = cbs2.plan(runtime_limit=-1.0,
+                                            anytime=False)
     assert status2 == TrialSuccessStatus.FAIL_RUNTIME_LIMIT
     assert n_coll <= n_coll2
