@@ -32,6 +32,10 @@ PLANNER = os.environ.get("MMD_BENCH_PLANNER", "XECBS")
 # bfloat16 UNet inference (guide/posterior/selection stay f32); see
 # TemporalUnet.dtype. MODEL_EVAL.yaml records the quality parity evidence.
 BF16 = os.environ.get("MMD_BENCH_BF16", "1") not in ("0", "", "false")
+# 'ddim' = fast mode: fresh full-denoise loops run n_steps//5 DDIM substeps
+# (XCBS local-inference polish stays DDPM). Default 'ddpm' is the
+# reference-semantics headline; MODEL_EVAL.yaml holds the ddim quality rows.
+SAMPLER = os.environ.get("MMD_BENCH_SAMPLER", "ddpm")
 
 
 def build_planners(seed: int = 0):
@@ -60,7 +64,7 @@ def build_planners(seed: int = 0):
     starts, goals = get_start_goal_pos_circle(N_AGENTS)
     planners = [
         MPD(model, params, schedule, dataset, jnp.asarray(s), jnp.asarray(g),
-            seed=seed * 1000 + i, bf16=BF16)
+            seed=seed * 1000 + i, bf16=BF16, sampler=SAMPLER)
         for i, (s, g) in enumerate(zip(starts, goals))
     ]
     return planners, starts, goals
@@ -161,6 +165,8 @@ def main():
         "collision_free": bool(collision_free),
         "ct_expansions": int(n_exp),
     }
+    if SAMPLER != "ddpm":
+        result["sampler"] = SAMPLER
     timing = getattr(team2, "timing", None)
     if timing:
         # device_s = blocking time on device results (compute + tunnel

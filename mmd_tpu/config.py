@@ -76,6 +76,11 @@ class DiffusionConfig:
     clip_denoised: bool = True
     n_guide_steps: int = 20
     t_start_guide: int = 13        # ceil(0.5 * 25)
+    # 'ddpm' (default) or 'ddim': fast mode running n_diffusion_steps//5
+    # deterministic substeps (reference diffusion_model_base.py:214-291).
+    # Applies to FRESH full-denoise loops only; XCBS local inference (the
+    # warm-start polish) always runs the DDPM path.
+    sampler: str = "ddpm"
     noise_std_extra: float = 0.5   # constant extra noise-std schedule (mpd.py:303)
     unet_dim: int = 32
     dim_mults: Tuple[int, ...] = (1, 2, 4)

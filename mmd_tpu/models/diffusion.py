@@ -136,6 +136,15 @@ def guided_p_sample_loop(
     early steps then a guided scan — guidance structure is compiled in, the
     i < t_start_guide check never appears as a traced branch.
     """
+    if (cfg.sampler == "ddim" and warm_start is None
+            and n_diffusion_steps is None):
+        # DDIM fast mode covers fresh full-denoise loops; warm-started /
+        # shortened loops (XCBS local inference) keep the DDPM path — the
+        # reference's ddim_sample has no local-inference analog
+        # (diffusion_model_base.py:353-421 is DDPM-only).
+        return ddim_sample_loop(apply_fn, params, schedule, hard, key, cfg,
+                                gd=gd, guide_cfg=guide_cfg,
+                                n_samples=n_samples)
     n_steps = n_diffusion_steps if n_diffusion_steps is not None else cfg.n_diffusion_steps
     n_no_noise = cfg.n_diffusion_steps_without_noise
     B = n_samples if n_samples is not None else cfg.n_samples
@@ -223,11 +232,16 @@ def ddim_sample_loop(
 ) -> Tuple[jax.Array, jax.Array]:
     """DDIM sampling with eta=0 over n_steps//5 substeps.
 
-    Mirrors GaussianDiffusionModel.ddim_sample
-    (diffusion_model_base.py:214-291): time pairs
-    [(T-1, ...), ..., (0, -1)], x0-prediction clamped, deterministic update
-    x_{t'} = sqrt(ac_{t'}) x0 + sqrt(1-ac_{t'}) eps, guidance below
-    t_start_guide, hard conditioning every step.
+    Mirrors GaussianDiffusionModel.ddim_sample exactly
+    (diffusion_model_base.py:214-291): time pairs [(T-1, ...), ..., (0, -1)];
+    with predict_epsilon the reference's `pred_noise =
+    predict_noise_from_start(x, t, x0=model_out)` returns the model output
+    unchanged (:119-120), so the deterministic update is
+    x_{t'} = sqrt(ac_{t'}) x0 + sqrt(1-ac_{t'}) eps. Reference quirks kept:
+    x0 is NOT clamped (the DDIM path never clips, unlike p_mean_variance
+    :148-160); guidance gates on t_NEXT < t_start_guide (:270-271); the
+    final (0, -1) pair breaks to x0 + hard conditioning with NO guidance
+    (:251-256). (n_steps//5 + 1) UNet forwards total.
     """
     n_steps = cfg.n_diffusion_steps
     sub = max(1, n_steps // 5)
@@ -245,14 +259,13 @@ def ddim_sample_loop(
         tb = jnp.full((B,), t, jnp.int32)
         eps = apply_fn(params, x, tb)
         x0 = predict_start_from_noise(schedule, x, tb, eps)
-        if cfg.clip_denoised:
-            x0 = jnp.clip(x0, -1.0, 1.0)
         if t_next < 0:
-            x = x0
-        else:
-            ac_next = schedule.alphas_cumprod[t_next]
-            x = jnp.sqrt(ac_next) * x0 + jnp.sqrt(1.0 - ac_next) * eps
-        if gd is not None and t < cfg.t_start_guide:
+            x = hard.apply(x0)
+            chain.append(x[None])
+            break
+        ac_next = schedule.alphas_cumprod[t_next]
+        x = jnp.sqrt(ac_next) * x0 + jnp.sqrt(1.0 - ac_next) * eps
+        if gd is not None and t_next < cfg.t_start_guide:
             def guide_step(_, xx):
                 xx = xx + guide_gradient(xx, gd, guide_cfg)
                 return hard.apply(xx)

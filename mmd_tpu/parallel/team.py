@@ -183,12 +183,11 @@ def plan_prioritized_scan(apply_fn, params, schedule, hard_team: HardConds,
 
 def _add_team_evals(cfg, hard_team: "HardConds") -> None:
     """FLOP accounting (utils/baked.py): a team program runs one full
-    guided loop per agent — A * (n_steps + no-noise tail) UNet forwards."""
-    from mmd_tpu.utils.baked import add_unet_evals
+    guided loop per agent (DDPM or DDIM per cfg.sampler)."""
+    from mmd_tpu.utils.baked import add_unet_evals, loop_unet_evals
 
     add_unet_evals(hard_team.values.shape[0]
-                   * (cfg.n_diffusion_steps
-                      + cfg.n_diffusion_steps_without_noise))
+                   * loop_unet_evals(cfg, False, 0))
 
 
 def _planner_bake(p0):

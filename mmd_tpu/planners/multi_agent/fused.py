@@ -47,15 +47,9 @@ from mmd_tpu.utils.baked import (        # noqa: E402
     PROGRAM_CACHE as _PROGRAM_CACHE,
     add_unet_evals as _add_evals,
     bake_key as _bake_key,
+    loop_unet_evals as _loop_evals,
     record_call as _record,
 )
-
-
-def _loop_evals(cfg: "DiffusionConfig", local: bool, n_denoise: int) -> int:
-    """UNet forwards one guided_p_sample_loop executes: the (possibly
-    shortened, XCBS-local) denoise scan plus the no-noise tail."""
-    steps = n_denoise if local else cfg.n_diffusion_steps
-    return steps + cfg.n_diffusion_steps_without_noise
 
 
 def _select_and_update(res, paths_all, ix_best, agent_idx, margin):

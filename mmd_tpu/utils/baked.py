@@ -53,6 +53,18 @@ UNET_EVALS = 0.0           # accumulated UNet forwards (each at batch B)
 PROGRAM_NCALLS: dict = {}  # key -> invocations (device-call audit)
 
 
+def loop_unet_evals(cfg, local: bool, n_denoise: int) -> int:
+    """UNet forwards one guided sample loop executes (models/diffusion.py):
+    DDPM = denoise scan (possibly shortened for XCBS local inference) plus
+    the no-noise tail; DDIM fresh loops = n_steps//5 substep pairs + the
+    final x0 step. Local (warm-started) loops are always DDPM."""
+    if local:
+        return n_denoise + cfg.n_diffusion_steps_without_noise
+    if getattr(cfg, "sampler", "ddpm") == "ddim":
+        return max(1, cfg.n_diffusion_steps // 5) + 1
+    return cfg.n_diffusion_steps + cfg.n_diffusion_steps_without_noise
+
+
 def clear_program_cache() -> None:
     """Drop every memoized digest and compiled program (frees the pinned
     params/scene/executable references for long sweep processes)."""

@@ -37,6 +37,14 @@ def main():
     ap.add_argument("--data_dir", default="data_trajectories")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 UNet inference (see TemporalUnet.dtype)")
+    ap.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"],
+                    help="'ddim' = n_steps//5-substep fast mode "
+                         "(reference diffusion_model_base.py:214-291)")
+    ap.add_argument("--tag", default=None,
+                    help="override the yaml row's model-name suffix "
+                         "(e.g. 'vd+bf16'); default '+bf16' when --bf16")
+    ap.add_argument("--variant", default=None,
+                    help="free-text provenance note stored in the yaml row")
     args = ap.parse_args()
 
     registry = ModelRegistry(trained_models_dir=args.models_dir,
@@ -54,7 +62,8 @@ def main():
         qs = task.random_coll_free_q(k1, n_samples=2)
         start, goal = qs[0], qs[1]
         planner = MPD(model, params, schedule, dataset, start, goal,
-                      seed=args.seed * 1000 + i, bf16=args.bf16)
+                      seed=args.seed * 1000 + i, bf16=args.bf16,
+                      sampler=args.sampler)
         out = planner()
         stats["fraction_free"].append(out.fraction_free_trajs)
         stats["success"].append(out.success_free_trajs)
@@ -104,10 +113,19 @@ def main():
         "plan_time": float(np.mean(stats["plan_time"][1:]
                                    or stats["plan_time"])),
     }
-    if args.bf16:
-        # Separate yaml row: the f32 row for the same checkpoint is the
-        # quality-parity baseline.
-        row["model"] = mid + "+bf16"
+    if args.tag:
+        # e.g. 'vd+bf16': distinguishes alternate checkpoint roots
+        # (--models_dir) and numerics in one suffix.
+        row["model"] = mid + "+" + args.tag
+    else:
+        # Separate yaml rows: the plain f32/ddpm row for the same
+        # checkpoint is the quality-parity baseline.
+        suffix = (["bf16"] if args.bf16 else []) + (
+            [args.sampler] if args.sampler != "ddpm" else [])
+        if suffix:
+            row["model"] = mid + "+" + "+".join(suffix)
+    if args.variant:
+        row["variant"] = args.variant
     print(f"model {row['model']} over {args.n_tasks} tasks:")
     print(f"  fraction_free: {row['fraction_free']:.3f}")
     print(f"  success_rate:  {row['success_rate']:.3f}")

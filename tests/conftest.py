@@ -35,6 +35,15 @@ _HEAVY_MODULES = {
     "test_train", "test_trial_ensemble",
 }
 
+# Sub-5-minute round-gating subset: pure math + host logic only. Modules
+# that jit-compile a guided sampler loop, run datagen planners, or train
+# even a tiny model are excluded (they dominate the ~13 min quick tier).
+_SMOKE_MODULES = {
+    "test_artifacts", "test_costs", "test_envs", "test_interp",
+    "test_kinematics", "test_native_rrt", "test_normalization", "test_ops",
+    "test_task",
+}
+
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
@@ -43,3 +52,5 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.heavy)
         else:
             item.add_marker(pytest.mark.quick)
+            if mod in _SMOKE_MODULES:
+                item.add_marker(pytest.mark.smoke)

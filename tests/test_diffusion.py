@@ -167,3 +167,83 @@ def test_unet_context_conditioning_modes():
                               unet_input_dim=16, dim_mults=(1, 2))
     y = model.apply(params, x, t)
     assert y.shape == (B, H, D)
+
+
+def test_ddim_dispatch_via_cfg_sampler():
+    """cfg.sampler='ddim' routes FRESH full-denoise loops through
+    ddim_sample_loop ((n_steps//5 + 1) forwards, reference
+    diffusion_model_base.py:214-291) while warm-started / shortened loops
+    (XCBS local inference) keep the DDPM path."""
+    import dataclasses
+
+    from mmd_tpu.models.diffusion import ddim_sample_loop
+
+    cfg, model, params, schedule, guide_cfg, gd, hard = _tiny_setup()
+    cfg_ddim = dataclasses.replace(cfg, sampler="ddim")
+
+    x, chain = guided_p_sample_loop(model.apply, params, schedule, hard,
+                                    jax.random.PRNGKey(5), cfg_ddim, gd=gd,
+                                    guide_cfg=guide_cfg)
+    # n_steps=6 -> sub=1 -> times [5, 0, -1] -> 2 pairs -> chain 1+2.
+    assert chain.shape == (3, 8, 16, 4)
+    assert x.shape == (8, 16, 4)
+    final = np.asarray(x)
+    np.testing.assert_allclose(final[:, 0], [[-0.5, -0.5, 0, 0]] * 8,
+                               atol=1e-6)
+    np.testing.assert_allclose(final[:, -1], [[0.5, 0.5, 0, 0]] * 8,
+                               atol=1e-6)
+    assert np.isfinite(final).all()
+
+    # Identical to calling ddim_sample_loop directly (same key).
+    x2, chain2 = ddim_sample_loop(model.apply, params, schedule, hard,
+                                  jax.random.PRNGKey(5), cfg_ddim, gd=gd,
+                                  guide_cfg=guide_cfg)
+    np.testing.assert_array_equal(np.asarray(chain), np.asarray(chain2))
+
+    # Warm-started loops ignore the ddim flag: DDPM chain length
+    # n_denoise + n_no_noise + 1.
+    warm = jnp.zeros((8, 16, 4))
+    _, chain3 = guided_p_sample_loop(model.apply, params, schedule, hard,
+                                     jax.random.PRNGKey(6), cfg_ddim, gd=gd,
+                                     guide_cfg=guide_cfg,
+                                     n_diffusion_steps=2, warm_start=warm)
+    assert chain3.shape == (2 + 1 + 1, 8, 16, 4)
+
+
+def test_ddim_matches_reference_structure():
+    """Reference quirks (diffusion_model_base.py:214-291): x0 is NOT
+    clamped on the DDIM path, guidance gates on t_next, and the final
+    (0, -1) pair applies NO guidance — the last chain snapshot is exactly
+    hard-conditioned x0(x_1)."""
+    import dataclasses
+
+    from mmd_tpu.models.diffusion import ddim_sample_loop
+
+    cfg, model, params, schedule, guide_cfg, gd, hard = _tiny_setup()
+    cfg_ddim = dataclasses.replace(cfg, sampler="ddim")
+    _, chain = ddim_sample_loop(model.apply, params, schedule, hard,
+                                jax.random.PRNGKey(9), cfg_ddim, gd=gd,
+                                guide_cfg=guide_cfg)
+    # Reproduce the final step by hand from the penultimate snapshot.
+    x_prev = chain[-2]
+    tb = jnp.zeros((x_prev.shape[0],), jnp.int32)
+    eps = model.apply(params, x_prev, tb)
+    x0 = predict_start_from_noise(schedule, x_prev, tb, eps)
+    expect = hard.apply(x0)
+    np.testing.assert_allclose(np.asarray(chain[-1]), np.asarray(expect),
+                               atol=1e-6)
+
+
+def test_loop_unet_evals_accounting():
+    """FLOP-accounting helper matches the sampler structure (bench.py's
+    MFU numerator depends on it)."""
+    from mmd_tpu.utils.baked import loop_unet_evals
+
+    cfg = DiffusionConfig(n_diffusion_steps=25,
+                          n_diffusion_steps_without_noise=1)
+    assert loop_unet_evals(cfg, False, 0) == 26          # DDPM fresh
+    assert loop_unet_evals(cfg, True, 3) == 4            # XCBS local
+    import dataclasses
+    cfg_d = dataclasses.replace(cfg, sampler="ddim")
+    assert loop_unet_evals(cfg_d, False, 0) == 6         # 25//5 + 1
+    assert loop_unet_evals(cfg_d, True, 3) == 4          # local stays DDPM
