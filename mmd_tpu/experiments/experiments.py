@@ -44,6 +44,11 @@ class MultiAgentPlanningSingleTrialConfig:
     # bfloat16 UNet inference (guide/posterior/selection stay f32) — the
     # numerics bench.py measures; MODEL_EVAL.yaml carries quality parity.
     bf16: bool = False
+    # Beyond-reference dense-instance levers (cbs.CBS): Jacobi repair every
+    # N accepted expansions (0 = off), and the speculative greedy-chain
+    # depth per fused call (0 = the CBS.GREEDY_ITERS default, 8).
+    repair_period: int = 0
+    greedy_iters: int = 0
 
 
 @dataclasses.dataclass
@@ -61,6 +66,8 @@ class MultiAgentPlanningExperimentConfig:
     render_animation: bool = False
     frontier_width: int = 1  # forwarded to every CBS-family trial
     bf16: bool = False       # forwarded to every trial's UNet inference
+    repair_period: int = 0   # forwarded to every CBS-family trial
+    greedy_iters: int = 0    # forwarded to every CBS-family trial
 
     def get_single_trial_configs_from_experiment_config(self):
         """Same start/goals reused across planners per trial
@@ -90,6 +97,8 @@ class MultiAgentPlanningExperimentConfig:
                         render_animation=self.render_animation,
                         frontier_width=getattr(self, "frontier_width", 1),
                         bf16=getattr(self, "bf16", False),
+                        repair_period=getattr(self, "repair_period", 0),
+                        greedy_iters=getattr(self, "greedy_iters", 0),
                     )
                     (c.start_state_pos_l, c.goal_state_pos_l,
                      c.global_model_ids, c.agent_skeleton_l) = problems[trial_number]

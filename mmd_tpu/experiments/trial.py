@@ -201,6 +201,12 @@ def run_multi_agent_trial(cfg: MultiAgentPlanningSingleTrialConfig,
     if (getattr(cfg, "frontier_width", 1) > 1
             and cfg.multi_agent_planner_class != "PP"):
         mesh_kw["frontier_width"] = cfg.frontier_width
+    if (getattr(cfg, "repair_period", 0) > 0
+            and cfg.multi_agent_planner_class != "PP"):
+        mesh_kw["repair_period"] = cfg.repair_period
+    if (getattr(cfg, "greedy_iters", 0) or 0) > 0 \
+            and cfg.multi_agent_planner_class != "PP":
+        mesh_kw["greedy_iters"] = cfg.greedy_iters
     team = make_team_planner(cfg.multi_agent_planner_class, planners,
                              start_l, goal_l, start_time_l=start_time_l,
                              reference_robot=reference_robot,

@@ -107,7 +107,9 @@ class CBS:
                  root_repair_rounds: int = 0,
                  choose_path_strategy: Optional[str] = None,
                  conflict_types: Tuple = (PointConflict,),
-                 mesh=None, frontier_width: int = 1):
+                 mesh=None, frontier_width: int = 1,
+                 greedy_iters: Optional[int] = None,
+                 repair_period: int = 0):
         self.low_level_planner_l = low_level_planner_l
         self.is_xcbs = is_xcbs
         self.is_ecbs = is_ecbs
@@ -183,6 +185,24 @@ class CBS:
         # ("starved",), and ("stop", chosen_conflicts, open_list_min)
         # markers for its recovery/stop branches.
         self.greedy_audit: Optional[list] = None
+        # Speculative-chain depth per fused greedy/frontier call. Default is
+        # the class attribute (monkeypatchable for small CPU programs); an
+        # explicit value shadows it per instance. Each distinct depth
+        # compiles its own program variant.
+        if greedy_iters:
+            self.GREEDY_ITERS = int(greedy_iters)
+        # Beyond-reference dense-instance lever: every `repair_period`
+        # accepted expansions, run ONE Jacobi repair round on the node just
+        # popped (every agent re-plans fresh+soft in one batched call;
+        # accept-if-improved damping, conflict_detection.repair_accept) and
+        # insert the result as a sibling node if it strictly improves. Large-
+        # neighborhood-search-style move: the repaired node's paths need not
+        # respect its CT-constraint lineage — solution validity is judged by
+        # actual conflicts (0 conflicts = SUCCESS), and the strict post-hoc
+        # collision audit in experiments/trial.py is unchanged. 0 = off
+        # (reference semantics).
+        self.repair_period = int(repair_period)
+        self._last_repair = 0
         # Blocking device time (dispatch queue + compute + tunnel transfer)
         # accumulated over plan(); host share = wall - device_s. Surfaced by
         # bench.py so host-overhead regressions are visible per round.
@@ -533,6 +553,16 @@ class CBS:
             if state.n_conflicts == 0:
                 status = TrialSuccessStatus.SUCCESS
                 break
+            if (self.repair_period > 0
+                    and num_expansions - self._last_repair >= self.repair_period
+                    and self._repair_eligible()):
+                self._last_repair = num_expansions
+                repaired, _ = self._repair_root(state)
+                num_expansions += 1  # one batched device call, like a round
+                if repaired.n_conflicts < state.n_conflicts:
+                    self.open_l.append(repaired)
+                    if repaired.n_conflicts < best_seen.n_conflicts:
+                        best_seen = repaired
             n_frontier = (self._expand_frontier(state)
                           if self.frontier_width > 1 else 0)
             if n_frontier:
@@ -1048,6 +1078,16 @@ class CBS:
         return True
 
     # ------------------------------------------------------------- repair
+    def _repair_eligible(self) -> bool:
+        """Mid-search Jacobi repair needs the batched fresh-team program:
+        uniform start times and batch-compatible MPD planners."""
+        from mmd_tpu.parallel.team import _batchable
+        from mmd_tpu.planners.single_agent.mpd import MPD
+
+        return (self.uniform_time
+                and all(isinstance(p, MPD) for p in self.low_level_planner_l)
+                and _batchable(self.low_level_planner_l))
+
     def _reselect_root(self, root: SearchState, free_all: jax.Array,
                        sweeps: int = 2) -> SearchState:
         """Jacobi re-selection among existing candidate batches: each agent

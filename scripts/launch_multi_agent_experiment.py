@@ -81,6 +81,12 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 UNet inference (guide/posterior/selection "
                          "stay f32) — the numerics bench.py measures.")
+    ap.add_argument("--repair_period", type=int, default=0,
+                    help="Beyond-reference: one Jacobi repair round on the "
+                         "popped node every N accepted expansions (0 = off).")
+    ap.add_argument("--greedy_iters", type=int, default=0,
+                    help="Speculative greedy-chain depth per fused call "
+                         "(0 = CBS default, 8).")
     ap.add_argument("--models_dir", default="data_trained_models",
                     help="alternate checkpoint root (e.g. the H=128 "
                          "long-horizon models in data_trained_models_h128)")
@@ -103,6 +109,8 @@ def main():
         stagger_start_time_dt=args.stagger_dt,
         frontier_width=args.frontier_width,
         bf16=args.bf16,
+        repair_period=args.repair_period,
+        greedy_iters=args.greedy_iters,
     )
     analyzed = run_multi_agent_experiment(cfg, registry=registry)
     for n, per_planner in analyzed.items():

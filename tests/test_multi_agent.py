@@ -313,3 +313,48 @@ def test_anytime_returns_best_near_miss(trained_setup, monkeypatch):
                                             anytime=False)
     assert status2 == TrialSuccessStatus.FAIL_RUNTIME_LIMIT
     assert n_coll <= n_coll2
+
+
+def test_mid_search_repair_lever(trained_setup, monkeypatch):
+    """repair_period > 0 (beyond-reference dense-instance lever): a Jacobi
+    repair round on a popped node never worsens it (repair_accept's global
+    monotonicity), the repaired sibling enters the open list only on strict
+    improvement, and the search still returns a collision-free solution."""
+    starts, goals = get_start_goal_pos_circle(6)
+    planners = _planners(trained_setup, starts, goals)
+    cbs = CBS(planners, starts, goals, is_ecbs=True, is_xcbs=True,
+              repair_period=1)
+    assert cbs._repair_eligible()
+
+    calls = {"n": 0}
+    real_repair = cbs._repair_root
+
+    def counting_repair(state, free_all=None):
+        out = real_repair(state, free_all)
+        # Accept-if-improved damping + global monotonicity: the repaired
+        # node is never worse than its source.
+        assert out[0].n_conflicts <= state.n_conflicts
+        calls["n"] += 1
+        return out
+
+    monkeypatch.setattr(cbs, "_repair_root", counting_repair)
+    monkeypatch.setattr(CBS, "GREEDY_ITERS", 3)
+    paths, n_exp, status, n_coll = cbs.plan(runtime_limit=600)
+    assert status == TrialSuccessStatus.SUCCESS
+    assert n_coll == 0
+    assert count_conflicts(paths, planners[0].robot.rr_margin) == 0
+    # Repair fires iff the search needed at least `repair_period`
+    # expansions past the root round.
+    if n_exp > 3:
+        assert calls["n"] >= 1
+
+
+def test_greedy_iters_instance_override(trained_setup):
+    """greedy_iters= shadows CBS.GREEDY_ITERS per instance; default
+    instances keep the (monkeypatchable) class attribute."""
+    starts, goals = get_start_goal_pos_circle(3)
+    planners = _planners(trained_setup, starts, goals)
+    cbs = CBS(planners, starts, goals, greedy_iters=5)
+    assert cbs.GREEDY_ITERS == 5
+    cbs2 = CBS(planners, starts, goals)
+    assert cbs2.GREEDY_ITERS == CBS.GREEDY_ITERS
