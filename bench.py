@@ -36,6 +36,11 @@ BF16 = os.environ.get("MMD_BENCH_BF16", "1") not in ("0", "", "false")
 # (XCBS local-inference polish stays DDPM). Default 'ddpm' is the
 # reference-semantics headline; MODEL_EVAL.yaml holds the ddim quality rows.
 SAMPLER = os.environ.get("MMD_BENCH_SAMPLER", "ddpm")
+# Guide-iteration ladder for device-time attribution (reference uses a flat
+# 20 per guided diffusion step, mmd_params.py:37): override per-step guide
+# iterations to measure their share of device time. Non-default values are
+# measurement probes, not the headline.
+GUIDE_STEPS = int(os.environ.get("MMD_BENCH_GUIDE_STEPS", "0"))
 
 
 def build_planners(seed: int = 0):
@@ -67,6 +72,10 @@ def build_planners(seed: int = 0):
             seed=seed * 1000 + i, bf16=BF16, sampler=SAMPLER)
         for i, (s, g) in enumerate(zip(starts, goals))
     ]
+    if GUIDE_STEPS > 0:
+        import dataclasses
+        for p in planners:
+            p.cfg = dataclasses.replace(p.cfg, n_guide_steps=GUIDE_STEPS)
     return planners, starts, goals
 
 
@@ -167,6 +176,8 @@ def main():
     }
     if SAMPLER != "ddpm":
         result["sampler"] = SAMPLER
+    if GUIDE_STEPS > 0:
+        result["n_guide_steps"] = GUIDE_STEPS
     timing = getattr(team2, "timing", None)
     if timing:
         # device_s = blocking time on device results (compute + tunnel
