@@ -76,11 +76,15 @@ class DiffusionConfig:
     clip_denoised: bool = True
     n_guide_steps: int = 20
     t_start_guide: int = 13        # ceil(0.5 * 25)
-    # 'ddpm' (default) or 'ddim': fast mode running n_diffusion_steps//5
+    # 'ddpm' (default) or 'ddim': fast mode running ddim_substeps
     # deterministic substeps (reference diffusion_model_base.py:214-291).
     # Applies to FRESH full-denoise loops only; XCBS local inference (the
     # warm-start polish) always runs the DDPM path.
     sampler: str = "ddpm"
+    # DDIM substep count; 0 = the reference's n_diffusion_steps//5. More
+    # substeps trade speed back for data adherence (MODEL_EVAL.yaml holds
+    # the measured ladder).
+    ddim_substeps: int = 0
     noise_std_extra: float = 0.5   # constant extra noise-std schedule (mpd.py:303)
     unet_dim: int = 32
     dim_mults: Tuple[int, ...] = (1, 2, 4)

@@ -244,7 +244,8 @@ def ddim_sample_loop(
     (:251-256). (n_steps//5 + 1) UNet forwards total.
     """
     n_steps = cfg.n_diffusion_steps
-    sub = max(1, n_steps // 5)
+    sub = (cfg.ddim_substeps if getattr(cfg, "ddim_substeps", 0)
+           else max(1, n_steps // 5))
     times = [-1] + list(np.linspace(0, n_steps - 1, sub + 1).astype(int))
     times = times[::-1]
     pairs = list(zip(times[:-1], times[1:]))  # [(T-1, ...), ..., (0, -1)]

@@ -54,6 +54,16 @@ def _best_paths_pos(paths_all: jax.Array, ix: jax.Array) -> jax.Array:
     return paths_all[jnp.arange(n), ix][..., :2]
 
 
+@jax.jit
+def _best_paths_full(paths_all: jax.Array, ix: jax.Array) -> jax.Array:
+    """(n, B, H, D), (n,) -> (n, H, D) full-state best paths. Gathering on
+    device before the host fetch transfers A*H*D floats instead of the whole
+    sample batch (A*B*H*D ~ 6.5 MB for the 10-robot flagship — was 0.3 s of
+    pure tunnel time per plan when fetched via np.asarray(paths_all))."""
+    n = paths_all.shape[0]
+    return paths_all[jnp.arange(n), ix]
+
+
 def _plannable(constraint_l) -> List[MultiPointConstraint]:
     """Typed Vertex/Edge constraints -> plannable MultiPointConstraint form
     (the diffusion planner consumes keep-out balls only, mpd.py:329-342)."""
@@ -67,7 +77,16 @@ class SearchState:
 
     def __init__(self, paths_all: Optional[jax.Array], ix_best: List[int],
                  constraints: Optional[Dict[int, List[MultiPointConstraint]]] = None):
-        self.paths_all = paths_all       # (n_agents, B, H, D) device array
+        self._paths = paths_all          # (n_agents, B, H, D) device array
+        # Lazy single-agent row updates: [(agent_id, traj_ref)] where
+        # traj_ref is either a (B, H, D) array or an (array, index_tuple)
+        # slice reference into a fused call's stacked output. Children are
+        # created in bulk by the speculative greedy/frontier paths but most
+        # never leave the open list; deferring the row scatter (and the
+        # slice) until paths_all is actually read avoids one eager TPU
+        # dispatch per child (~1 ms each over the tunnel, tens of ms per
+        # plan at the flagship scale).
+        self._pending: List[tuple] = []
         self.ix_best = ix_best
         self.constraints = constraints or {}
         self.n_conflicts: int = 0
@@ -75,7 +94,39 @@ class SearchState:
         self.first_conflict: Optional[PointConflict] = None
         self.g = float("inf")
 
+    @property
+    def paths_all(self):
+        if self._pending:
+            rows = {}                      # agent -> latest ref (last wins)
+            for agent, ref in self._pending:
+                rows[agent] = ref
+            trajs = jnp.stack([
+                ref[0][ref[1]] if isinstance(ref, tuple) else ref
+                for ref in rows.values()])
+            agents = jnp.asarray(list(rows.keys()), jnp.int32)
+            self._paths = self._paths.at[agents].set(trajs)
+            self._pending = []
+        return self._paths
+
+    @paths_all.setter
+    def paths_all(self, value):
+        self._paths = value
+        self._pending = []
+
+    def add_path_update(self, agent_id: int, traj_ref) -> None:
+        """Defer `paths_all[agent_id] = traj` until paths_all is read."""
+        self._pending.append((agent_id, traj_ref))
+
+    @property
+    def has_paths(self) -> bool:
+        """paths_all presence without materializing pending updates."""
+        return self._paths is not None
+
     def best_paths(self) -> List[np.ndarray]:
+        if isinstance(self.paths_all, jax.Array):
+            sel = np.asarray(_best_paths_full(
+                self.paths_all, jnp.asarray(self.ix_best, jnp.int32)))
+            return list(sel)
         arr = np.asarray(self.paths_all)
         return [arr[i, ix] for i, ix in enumerate(self.ix_best)]
 
@@ -90,8 +141,9 @@ class SearchState:
         self.constraints.setdefault(agent_id, []).append(c)
 
     def get_copy(self) -> "SearchState":
-        s = SearchState(self.paths_all, list(self.ix_best),
+        s = SearchState(self._paths, list(self.ix_best),
                         {k: list(v) for k, v in self.constraints.items()})
+        s._pending = list(self._pending)
         s.n_conflicts = self.n_conflicts
         s.first_conflict = self.first_conflict
         s.g = self.g
@@ -351,7 +403,7 @@ class CBS:
         """One soft MultiPointConstraint holding a (q, [t, t+1]) ball per
         other-agent waypoint (reference: cbs.py:468-506)."""
         n_in_state = (n_agents_in_state if n_agents_in_state is not None
-                      else (state.paths_all.shape[0] if state.paths_all is not None else 0))
+                      else (state._paths.shape[0] if state.has_paths else 0))
         if n_in_state == 0:
             return []
         pos_all = np.asarray(_best_paths_pos(
@@ -532,7 +584,7 @@ class CBS:
             state = root
 
         # ---- search ----------------------------------------------------
-        best_seen = state if state.paths_all is not None else None
+        best_seen = state if state.has_paths else None
         while status == TrialSuccessStatus.UNKNOWN:
             # Deadline BEFORE pop/success-check (reference cbs.py:366-389
             # order): a 0-conflict node that materialized past the budget —
@@ -583,10 +635,10 @@ class CBS:
             # to SUCCESS would inflate head-to-head success-rate tables.
             # The returned paths/residual still reflect the best near-miss.
             cands = ([best_seen] if best_seen is not None else []) + [
-                n for n in self.open_l if n.paths_all is not None]
+                n for n in self.open_l if n.has_paths]
             if cands:
                 state = min(cands, key=lambda s: s.n_conflicts)
-        if state.paths_all is None:
+        if not state.has_paths:
             return [], num_expansions, status, 0
         best_path_l = global_pad_paths(state.best_paths(), self.start_time_l)
         return best_path_l, num_expansions, status, state.n_conflicts
@@ -801,7 +853,7 @@ class CBS:
                 child.add_constraint(agent, MultiPointConstraint(
                     q_l=[mid], t_range_l=[(lo, hi)],
                     radius_l=[default_params.vertex_constraint_radius]))
-                child.paths_all = parent.paths_all.at[agent].set(trajs[s, idx])
+                child.add_path_update(agent, (trajs, (s, idx)))
                 child.ix_best[agent] = int(ix_k[s, idx])
                 child.n_conflicts = int(counts_k[s, idx])
                 child.first_conflict = (
@@ -1069,7 +1121,7 @@ class CBS:
                 self._log("Failed to find valid path in CT node.")
                 continue
             child = children[i]
-            child.paths_all = state.paths_all.at[agent_id].set(trajs[i])
+            child.add_path_update(agent_id, (trajs, (i,)))
             child.ix_best[agent_id] = int(ix[i])
             child.n_conflicts = int(count[i])
             child.first_conflict = (self._mk_conflict(t[i], a[i], b[i], mid[i])

@@ -160,7 +160,8 @@ class MPD:
                  cfg: Optional[DiffusionConfig] = None,
                  guide_cfg: Optional[GuideConfig] = None,
                  seed: int = default_params.seed,
-                 bf16: bool = False, sampler: str = "ddpm"):
+                 bf16: bool = False, sampler: str = "ddpm",
+                 ddim_substeps: int = 0):
         # bf16: run UNet inference in bfloat16 compute (params stay f32;
         # the flax modules cast at use — see TemporalUnet.dtype). Guide
         # gradients, posterior math, and selection stay float32. The clone
@@ -181,11 +182,12 @@ class MPD:
                                       * schedule.n_steps)),
             n_guide_steps=default_params.n_guide_steps,
         )
-        if sampler != self.cfg.sampler:
-            # 'ddim' fast mode: fresh full-denoise loops run n_steps//5
-            # DDIM substeps; XCBS local inference stays DDPM (see
-            # models/diffusion.guided_p_sample_loop dispatch).
-            self.cfg = dataclasses.replace(self.cfg, sampler=sampler)
+        if sampler != self.cfg.sampler or ddim_substeps:
+            # 'ddim' fast mode: fresh full-denoise loops run ddim_substeps
+            # (default n_steps//5) DDIM substeps; XCBS local inference stays
+            # DDPM (see models/diffusion.guided_p_sample_loop dispatch).
+            self.cfg = dataclasses.replace(self.cfg, sampler=sampler,
+                                           ddim_substeps=int(ddim_substeps))
         self.guide_cfg = guide_cfg or GuideConfig(
             dt=getattr(dataset, "duration",
                        default_params.trajectory_duration) / H,

@@ -61,7 +61,9 @@ def loop_unet_evals(cfg, local: bool, n_denoise: int) -> int:
     if local:
         return n_denoise + cfg.n_diffusion_steps_without_noise
     if getattr(cfg, "sampler", "ddpm") == "ddim":
-        return max(1, cfg.n_diffusion_steps // 5) + 1
+        sub = (getattr(cfg, "ddim_substeps", 0)
+               or max(1, cfg.n_diffusion_steps // 5))
+        return sub + 1
     return cfg.n_diffusion_steps + cfg.n_diffusion_steps_without_noise
 
 

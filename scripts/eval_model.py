@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"],
                     help="'ddim' = n_steps//5-substep fast mode "
                          "(reference diffusion_model_base.py:214-291)")
+    ap.add_argument("--ddim_substeps", type=int, default=0,
+                    help="override the DDIM substep count (0 = n_steps//5);"
+                         " ladder probe for the speed-vs-adherence curve")
     ap.add_argument("--tag", default=None,
                     help="override the yaml row's model-name suffix "
                          "(e.g. 'vd+bf16'); default '+bf16' when --bf16")
@@ -63,7 +66,7 @@ def main():
         start, goal = qs[0], qs[1]
         planner = MPD(model, params, schedule, dataset, start, goal,
                       seed=args.seed * 1000 + i, bf16=args.bf16,
-                      sampler=args.sampler)
+                      sampler=args.sampler, ddim_substeps=args.ddim_substeps)
         out = planner()
         stats["fraction_free"].append(out.fraction_free_trajs)
         stats["success"].append(out.success_free_trajs)
@@ -121,7 +124,9 @@ def main():
         # Separate yaml rows: the plain f32/ddpm row for the same
         # checkpoint is the quality-parity baseline.
         suffix = (["bf16"] if args.bf16 else []) + (
-            [args.sampler] if args.sampler != "ddpm" else [])
+            [args.sampler + (str(args.ddim_substeps)
+                             if args.ddim_substeps else "")]
+            if args.sampler != "ddpm" else [])
         if suffix:
             row["model"] = mid + "+" + "+".join(suffix)
     if args.variant:

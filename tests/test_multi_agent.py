@@ -358,3 +358,45 @@ def test_greedy_iters_instance_override(trained_setup):
     assert cbs.GREEDY_ITERS == 5
     cbs2 = CBS(planners, starts, goals)
     assert cbs2.GREEDY_ITERS == CBS.GREEDY_ITERS
+
+
+def test_search_state_lazy_path_updates():
+    """Deferred paths_all row updates: children created by the speculative
+    paths carry (array, index) refs that materialize only when paths_all
+    is read; duplicate-agent updates are last-wins; copies are isolated."""
+    from mmd_tpu.planners.multi_agent.cbs import SearchState
+
+    base = jnp.zeros((3, 4, 8, 2))
+    trajs = jnp.arange(2 * 4 * 8 * 2, dtype=jnp.float32).reshape(2, 4, 8, 2)
+
+    s = SearchState(base, [0, 0, 0])
+    s.add_path_update(1, (trajs, (0,)))
+    assert s.has_paths and s._pending          # not yet materialized
+    copy = s.get_copy()
+    copy.add_path_update(1, (trajs, (1,)))     # same agent: last wins
+    copy.add_path_update(2, trajs[0])          # plain-array ref form
+
+    out = np.asarray(copy.paths_all)
+    assert not copy._pending                   # materialized once
+    np.testing.assert_allclose(out[1], np.asarray(trajs[1]))
+    np.testing.assert_allclose(out[2], np.asarray(trajs[0]))
+    np.testing.assert_allclose(out[0], 0.0)
+
+    # the original state is unaffected by the copy's updates
+    orig = np.asarray(s.paths_all)
+    np.testing.assert_allclose(orig[1], np.asarray(trajs[0]))
+    np.testing.assert_allclose(orig[2], 0.0)
+
+    # setter clears pending
+    s.add_path_update(0, trajs[1])
+    s.paths_all = base
+    assert not s._pending
+    np.testing.assert_allclose(np.asarray(s.paths_all), 0.0)
+
+    # best_paths gathers rows on device (a (n, H, D) transfer, not the
+    # whole sample batch) and respects pending updates
+    s2 = SearchState(base, [2, 1, 3])
+    s2.add_path_update(0, trajs[1])
+    bp = s2.best_paths()
+    assert len(bp) == 3 and bp[0].shape == (8, 2)
+    np.testing.assert_allclose(bp[0], np.asarray(trajs[1, 2]))
